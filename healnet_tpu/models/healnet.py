@@ -1,0 +1,555 @@
+"""HealNet: TPU-native hybrid early-fusion attention network.
+
+Re-implementation (not a translation) of the reference architecture
+(`/root/reference/healnet/models/healnet.py:14-262`) as a Flax module designed
+for XLA:
+
+- shared latent bottleneck array, per-modality cross-attention + feed-forward
+  with residuals, optional latent self-attention blocks, Fourier positional
+  encodings over N spatial axes, mean-pool -> LayerNorm -> Linear head;
+- **static-mask missing modalities**: instead of the reference's Python-level
+  ``None`` skipping (`healnet.py:197-239`, which relies on an accidental
+  try/except), a per-sample ``presence`` vector gates each modality's
+  cross-attention and feed-forward residual updates to zero via ``jnp.where``
+  semantics. XLA traces ONE program per set of input shapes — availability
+  patterns never trigger recompilation;
+- **weight-tying parity**: reproduces the reference ``cache_fn`` semantics
+  (`healnet.py:161,278-290`) exactly: with ``weight_tie_layers=True`` layer 0
+  keeps distinct modules while layers >= 1 share — cross-attention tied per
+  modality, the cross feed-forward tied into a single module across modalities
+  and layers, self-attention tied per block index;
+- self-attention blocks run once per modality iteration, matching the
+  reference's actual (verbose=False) control flow (`healnet.py:241-245`);
+- attention-weight inspection via Flax ``sow`` when ``store_attention=True``,
+  reconstructed into the reference's ``get_attention_weights()`` module-order
+  list (`healnet.py:252-262`).
+
+The public stateful wrapper :class:`HealNet` keeps the reference constructor
+and call signature (`healnet.py:16-38,190-195`) so Torch-reference users can
+switch with no code changes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from healnet_tpu.ops.fourier import positional_encoding
+from healnet_tpu.models.layers import (
+    PreNormAttention,
+    PreNormFeedForward,
+    torch_dense,
+)
+
+
+def _tie_key(layer: int, weight_tie_layers: bool) -> int:
+    """Module-sharing group for a fusion layer (cache_fn semantics).
+
+    Layer 0 is always distinct (the reference caches nothing at ``_cache=False``);
+    layers >= 1 collapse into one shared group when tying is enabled
+    (`healnet.py:161,278-290` — note the docstring there describes the flag
+    backwards; this follows the code).
+    """
+    if layer == 0:
+        return 0
+    return 1 if weight_tie_layers else layer
+
+
+def attention_module_order(
+    depth: int,
+    n_modalities: int,
+    self_per_cross_attn: int,
+    weight_tie_layers: bool,
+) -> List[Tuple[str, int, int, int]]:
+    """Reference ``get_attention_weights`` ordering.
+
+    Torch's ``Module.modules()`` yields each module once in first-registration
+    order, and each stores the weights of its *last* invocation
+    (`healnet.py:252-262,420`). Returns tuples
+    ``(kind, index, first_layer, last_layer)`` where ``kind`` is ``cross`` or
+    ``self``, ``index`` the modality/block, and ``last_layer`` the layer whose
+    sown weights reproduce the torch-visible value.
+    """
+    order: List[Tuple[str, int, int, int]] = []
+    seen: Dict[Tuple[str, int, int], int] = {}
+    for layer in range(depth):
+        key = _tie_key(layer, weight_tie_layers)
+        for m in range(n_modalities):
+            mod_id = ("cross", m, key)
+            if mod_id not in seen:
+                seen[mod_id] = len(order)
+                order.append(("cross", m, layer, layer))
+            else:
+                kind, idx, first, _ = order[seen[mod_id]]
+                order[seen[mod_id]] = (kind, idx, first, layer)
+        for blk in range(self_per_cross_attn):
+            mod_id = ("self", blk, key)
+            if mod_id not in seen:
+                seen[mod_id] = len(order)
+                order.append(("self", blk, layer, layer))
+            else:
+                kind, idx, first, _ = order[seen[mod_id]]
+                order[seen[mod_id]] = (kind, idx, first, layer)
+    return order
+
+
+class HealNetModule(nn.Module):
+    """Functional HealNet core (see module docstring).
+
+    Inputs to ``__call__``:
+        tensors: one array per modality, shape ``(b, *spatial_i, channels_i)``
+            with ``len(spatial_i) == num_spatial_axes[i]``.
+        presence: optional ``(b, n_modalities)`` float/bool — 1 where the
+            modality exists for the sample. Missing modalities contribute no
+            latent update (documented reference semantics, `README.md:16`).
+        kv_masks: optional per-modality boolean masks ``(b, tokens_i)`` for
+            padded/ragged contexts (True = attend).
+    """
+
+    n_modalities: int
+    channel_dims: Tuple[int, ...]
+    num_spatial_axes: Tuple[int, ...]
+    out_dims: int
+    depth: int = 3
+    num_freq_bands: int = 2
+    max_freq: float = 10.0
+    l_c: int = 128
+    l_d: int = 128
+    x_heads: int = 8
+    l_heads: int = 8
+    cross_dim_head: int = 64
+    latent_dim_head: int = 64
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    weight_tie_layers: bool = False
+    fourier_encode_data: bool = True
+    self_per_cross_attn: int = 1
+    final_classifier_head: bool = True
+    snn: bool = True
+    attention_impl: str = "xla"
+    dtype: Any = None
+
+    def input_dims(self) -> List[int]:
+        """Per-modality context dims after Fourier concat (`healnet.py:134-139`)."""
+        dims = []
+        for axis, channels in zip(self.num_spatial_axes, self.channel_dims):
+            f_channels = axis * (2 * self.num_freq_bands + 1) if self.fourier_encode_data else 0
+            dims.append(f_channels + channels)
+        return dims
+
+    @nn.compact
+    def __call__(
+        self,
+        tensors: Sequence[jnp.ndarray],
+        presence: Optional[jnp.ndarray] = None,
+        kv_masks: Optional[Sequence[Optional[jnp.ndarray]]] = None,
+        deterministic: bool = True,
+        return_embeddings: bool = False,
+        store_attention: bool = False,
+    ) -> jnp.ndarray:
+        assert len(tensors) == self.n_modalities, (
+            f"expected {self.n_modalities} modalities, got {len(tensors)}"
+        )
+        input_dims = self.input_dims()
+        b = tensors[0].shape[0]
+
+        # ---- per-modality preprocessing: Fourier encode + flatten spatial axes
+        contexts: List[jnp.ndarray] = []
+        for i, data in enumerate(tensors):
+            spatial = data.shape[1:-1]
+            assert len(spatial) == self.num_spatial_axes[i], (
+                f"input data for modality {i + 1} must have the same number of "
+                f"axes as the num_spatial_axes parameter"
+            )
+            if self.fourier_encode_data:
+                enc = positional_encoding(
+                    spatial, self.max_freq, self.num_freq_bands, dtype=data.dtype
+                )
+                enc = jnp.broadcast_to(enc, (b, *enc.shape))
+                data = jnp.concatenate([data, enc], axis=-1)
+            contexts.append(data.reshape(b, -1, data.shape[-1]))
+
+        if presence is None:
+            presence = jnp.ones((b, self.n_modalities), dtype=contexts[0].dtype)
+        presence = presence.astype(contexts[0].dtype)
+        if kv_masks is None:
+            kv_masks = [None] * self.n_modalities
+
+        # ---- module construction honouring cache_fn tying semantics
+        groups: Dict[int, Dict[str, Any]] = {}
+        for layer in range(self.depth):
+            key = _tie_key(layer, self.weight_tie_layers)
+            if key in groups:
+                continue
+            cross_attns = [
+                PreNormAttention(
+                    query_dim=self.l_d,
+                    context_dim=input_dims[m],
+                    heads=self.x_heads,
+                    dim_head=self.cross_dim_head,
+                    dropout=self.attn_dropout,
+                    attention_impl=self.attention_impl,
+                    dtype=self.dtype,
+                    name=f"layer{key}_cross_attn_m{m}",
+                )
+                for m in range(self.n_modalities)
+            ]
+            if key >= 1 and self.weight_tie_layers:
+                # cache_fn key=None: one FF shared across modalities AND layers >= 1
+                shared_ff = PreNormFeedForward(
+                    dim=self.l_d,
+                    dropout=self.ff_dropout,
+                    snn=self.snn,
+                    dtype=self.dtype,
+                    name=f"layer{key}_cross_ff_shared",
+                )
+                cross_ffs = [shared_ff] * self.n_modalities
+            else:
+                cross_ffs = [
+                    PreNormFeedForward(
+                        dim=self.l_d,
+                        dropout=self.ff_dropout,
+                        snn=self.snn,
+                        dtype=self.dtype,
+                        name=f"layer{key}_cross_ff_m{m}",
+                    )
+                    for m in range(self.n_modalities)
+                ]
+            self_attns = [
+                PreNormAttention(
+                    query_dim=self.l_d,
+                    heads=self.l_heads,
+                    dim_head=self.latent_dim_head,
+                    dropout=self.attn_dropout,
+                    attention_impl=self.attention_impl,
+                    dtype=self.dtype,
+                    name=f"layer{key}_self_attn_b{blk}",
+                )
+                for blk in range(self.self_per_cross_attn)
+            ]
+            self_ffs = [
+                PreNormFeedForward(
+                    dim=self.l_d,
+                    dropout=self.ff_dropout,
+                    snn=self.snn,
+                    dtype=self.dtype,
+                    name=f"layer{key}_self_ff_b{blk}",
+                )
+                for blk in range(self.self_per_cross_attn)
+            ]
+            groups[key] = {
+                "cross_attns": cross_attns,
+                "cross_ffs": cross_ffs,
+                "self_attns": self_attns,
+                "self_ffs": self_ffs,
+            }
+
+        # ---- shared latent bottleneck (`healnet.py:143`)
+        latents = self.param(
+            "latents", nn.initializers.normal(stddev=1.0), (self.l_c, self.l_d)
+        )
+        x = jnp.broadcast_to(latents.astype(contexts[0].dtype), (b, self.l_c, self.l_d))
+
+        # ---- iterative fusion (`healnet.py:227-245`)
+        for layer in range(self.depth):
+            mods = groups[_tie_key(layer, self.weight_tie_layers)]
+            for i in range(self.n_modalities):
+                pres = presence[:, i][:, None, None]
+                update, weights = mods["cross_attns"][i](
+                    x,
+                    context=contexts[i],
+                    kv_mask=kv_masks[i],
+                    deterministic=deterministic,
+                    return_weights=store_attention,
+                )
+                if store_attention:
+                    self.sow("intermediates", f"attn_l{layer}_cross_m{i}", weights)
+                x = pres * update + x
+                x = pres * mods["cross_ffs"][i](x, deterministic=deterministic) + x
+                # self-attention runs per modality iteration, matching the
+                # reference's actual control flow (`healnet.py:241-245`)
+                for blk in range(self.self_per_cross_attn):
+                    update, weights = mods["self_attns"][blk](
+                        x,
+                        deterministic=deterministic,
+                        return_weights=store_attention,
+                    )
+                    if store_attention:
+                        self.sow("intermediates", f"attn_l{layer}_self_b{blk}", weights)
+                    x = update + x
+                    x = mods["self_ffs"][blk](x, deterministic=deterministic) + x
+
+        if return_embeddings or not self.final_classifier_head:
+            return x
+
+        # mean-pool over latent tokens -> LayerNorm -> Linear (`healnet.py:181-185`)
+        pooled = jnp.mean(x, axis=1)
+        pooled = nn.LayerNorm(epsilon=1e-5, name="final_norm", dtype=self.dtype)(pooled)
+        return torch_dense(self.out_dims, self.l_d, name="final_head", dtype=self.dtype)(pooled)
+
+
+class HealNet:
+    """Stateful API-parity wrapper around :class:`HealNetModule`.
+
+    Keeps the reference constructor and call signature
+    (`/root/reference/healnet/models/healnet.py:16-38,190-195`): pass a list of
+    per-modality arrays (entries may be ``None`` for missing modalities) and
+    read logits back; ``get_attention_weights()`` exposes the per-layer,
+    per-modality attention maps of the last forward pass.
+    """
+
+    def __init__(
+        self,
+        *,
+        n_modalities: int,
+        channel_dims: Sequence[int],
+        num_spatial_axes: Sequence[int],
+        out_dims: int,
+        depth: int = 3,
+        num_freq_bands: int = 2,
+        max_freq: float = 10.0,
+        l_c: int = 128,
+        l_d: int = 128,
+        x_heads: int = 8,
+        l_heads: int = 8,
+        cross_dim_head: int = 64,
+        latent_dim_head: int = 64,
+        attn_dropout: float = 0.0,
+        ff_dropout: float = 0.0,
+        weight_tie_layers: bool = False,
+        fourier_encode_data: bool = True,
+        self_per_cross_attn: int = 1,
+        final_classifier_head: bool = True,
+        snn: bool = True,
+        seed: int = 0,
+        store_attention: str = "lazy",
+        attention_impl: str = "xla",
+        dtype: Any = None,
+    ):
+        assert len(channel_dims) == len(num_spatial_axes), (
+            "input channels and input axis must be of the same length"
+        )
+        assert len(num_spatial_axes) == n_modalities, (
+            "input axis must be of the same length as the number of modalities"
+        )
+        self.module = HealNetModule(
+            n_modalities=n_modalities,
+            channel_dims=tuple(channel_dims),
+            num_spatial_axes=tuple(num_spatial_axes),
+            out_dims=out_dims,
+            depth=depth,
+            num_freq_bands=num_freq_bands,
+            max_freq=max_freq,
+            l_c=l_c,
+            l_d=l_d,
+            x_heads=x_heads,
+            l_heads=l_heads,
+            cross_dim_head=cross_dim_head,
+            latent_dim_head=latent_dim_head,
+            attn_dropout=attn_dropout,
+            ff_dropout=ff_dropout,
+            weight_tie_layers=weight_tie_layers,
+            fourier_encode_data=fourier_encode_data,
+            self_per_cross_attn=self_per_cross_attn,
+            final_classifier_head=final_classifier_head,
+            snn=snn,
+            attention_impl=attention_impl,
+            dtype=dtype,
+        )
+        # Attention-weight capture policy. The reference stores weights on every
+        # forward (`healnet.py:420`), but for WSI-scale contexts that means
+        # materialising (b, h, l_c, ~50k-token) tensors — gigabytes per step.
+        #   - "lazy" (default): hot path stores nothing; get_attention_weights()
+        #     re-runs a capture forward on the cached inputs on demand.
+        #   - True / "eager": capture on every forward (reference behaviour).
+        #   - False: never capture.
+        if store_attention is True:
+            store_attention = "eager"
+        elif store_attention is False:
+            store_attention = "off"
+        assert store_attention in ("lazy", "eager", "off")
+        self.store_attention = store_attention
+        self._rng = jax.random.PRNGKey(seed)
+        self.params: Optional[FrozenDict] = None
+        self._attn_weights: Optional[List[np.ndarray]] = None
+        self._last_inputs = None
+        self._apply = jax.jit(
+            self._apply_impl,
+            static_argnames=("deterministic", "return_embeddings", "store_attention"),
+        )
+
+    # ------------------------------------------------------------------ utils
+    def _apply_impl(
+        self,
+        params,
+        tensors,
+        presence,
+        kv_masks,
+        rng,
+        deterministic: bool,
+        return_embeddings: bool,
+        store_attention: bool,
+    ):
+        rngs = {"dropout": rng} if not deterministic else {}
+        out, state = self.module.apply(
+            {"params": params},
+            tensors,
+            presence=presence,
+            kv_masks=kv_masks,
+            deterministic=deterministic,
+            return_embeddings=return_embeddings,
+            store_attention=store_attention,
+            rngs=rngs,
+            mutable=["intermediates"] if store_attention else [],
+        )
+        return out, state
+
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _prepare_inputs(
+        self,
+        tensors: Sequence[Optional[jnp.ndarray]],
+        mask,
+    ):
+        """Convert a reference-style tensor list (None = missing) to static form."""
+        assert len(tensors) == self.module.n_modalities, (
+            f"expected {self.module.n_modalities} modalities, got {len(tensors)}"
+        )
+        batch = None
+        for t in tensors:
+            if t is not None:
+                batch = np.asarray(t).shape[0]
+                break
+        assert batch is not None, "at least one modality must be present"
+
+        prepared: List[jnp.ndarray] = []
+        presence = np.ones((batch, self.module.n_modalities), dtype=np.float32)
+        for i, t in enumerate(tensors):
+            if t is None:
+                presence[:, i] = 0.0
+                shape = (batch,) + (1,) * self.module.num_spatial_axes[i] + (
+                    self.module.channel_dims[i],
+                )
+                prepared.append(jnp.zeros(shape, dtype=jnp.float32))
+            else:
+                prepared.append(jnp.asarray(t, dtype=jnp.float32))
+
+        kv_masks: List[Optional[jnp.ndarray]] = [None] * self.module.n_modalities
+        if mask is not None:
+            if isinstance(mask, (list, tuple)):
+                kv_masks = [None if m is None else jnp.asarray(m, bool) for m in mask]
+            else:
+                mask = jnp.asarray(mask, bool).reshape(batch, -1)
+                for i, t in enumerate(prepared):
+                    tokens = int(np.prod(t.shape[1:-1]))
+                    if tokens == mask.shape[1]:
+                        kv_masks[i] = mask
+        return tuple(prepared), jnp.asarray(presence), tuple(kv_masks)
+
+    # ------------------------------------------------------------------ API
+    def init(self, tensors: Sequence[Optional[jnp.ndarray]]) -> FrozenDict:
+        prepared, presence, kv_masks = self._prepare_inputs(list(tensors), None)
+        variables = self.module.init(
+            {"params": self._next_rng(), "dropout": self._next_rng()},
+            prepared,
+            presence=presence,
+            kv_masks=kv_masks,
+            deterministic=True,
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def __call__(
+        self,
+        tensors: Sequence[Optional[jnp.ndarray]],
+        mask=None,
+        return_embeddings: bool = False,
+        train: bool = False,
+        verbose: bool = False,
+    ) -> jnp.ndarray:
+        tensors = list(tensors)
+        if verbose:
+            missing = [i for i, t in enumerate(tensors) if t is None]
+            print(f"Missing modalities indices: {missing}")
+        prepared, presence, kv_masks = self._prepare_inputs(tensors, mask)
+        if self.params is None:
+            self.init(tensors)
+        eager = self.store_attention == "eager"
+        out, state = self._apply(
+            self.params,
+            prepared,
+            presence,
+            kv_masks,
+            self._next_rng() if train else jax.random.PRNGKey(0),
+            deterministic=not train,
+            return_embeddings=return_embeddings,
+            store_attention=eager,
+        )
+        if eager:
+            self._attn_weights = self._collect_attention(state.get("intermediates", {}))
+        else:
+            self._attn_weights = None
+        self._last_inputs = (prepared, presence, kv_masks)
+        return out
+
+    forward = __call__
+
+    def _collect_attention(self, intermediates) -> List[np.ndarray]:
+        order = attention_module_order(
+            self.module.depth,
+            self.module.n_modalities,
+            self.module.self_per_cross_attn,
+            self.module.weight_tie_layers,
+        )
+        weights: List[np.ndarray] = []
+        for kind, idx, _first, last in order:
+            tag = (
+                f"attn_l{last}_cross_m{idx}" if kind == "cross" else f"attn_l{last}_self_b{idx}"
+            )
+            if tag in intermediates:
+                # sow appends one entry per invocation; self-attention runs once
+                # per modality iteration and torch keeps the LAST invocation's
+                # weights (`healnet.py:420`), so read the final sown entry.
+                w = np.asarray(intermediates[tag][-1])  # (b, h, lq, lkv)
+                b, h, lq, lkv = w.shape
+                # reference stores (b*h, lq, lkv) (`healnet.py:407,420`)
+                weights.append(w.reshape(b * h, lq, lkv))
+        return weights
+
+    def get_attention_weights(self) -> List[np.ndarray]:
+        """Attention maps of the last forward pass, reference module order.
+
+        Under the default "lazy" policy this re-runs a capture forward on the
+        cached inputs — the hot path never materialises the (b, h, l_c, tokens)
+        maps, so inspection costs nothing unless used.
+        """
+        if self._attn_weights is not None:
+            return self._attn_weights
+        if self.store_attention == "off" or self._last_inputs is None:
+            return []
+        prepared, presence, kv_masks = self._last_inputs
+        _, state = self._apply(
+            self.params,
+            prepared,
+            presence,
+            kv_masks,
+            jax.random.PRNGKey(0),
+            deterministic=True,
+            return_embeddings=False,
+            store_attention=True,
+        )
+        self._attn_weights = self._collect_attention(state.get("intermediates", {}))
+        return self._attn_weights
+
+    def count_parameters(self) -> int:
+        from healnet_tpu.utils.train_utils import count_parameters
+
+        return 0 if self.params is None else count_parameters(self.params)

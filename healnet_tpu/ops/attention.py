@@ -1,0 +1,89 @@
+"""Functional attention core (XLA reference path).
+
+Numerical contract mirrors the reference `Attention.forward`
+(`/root/reference/healnet/models/healnet.py:400-426`):
+
+- scores = ``q @ k^T * scale`` with ``scale = dim_head ** -0.5``;
+- optional boolean key mask filled with a large negative value (`healnet.py:411-415`);
+- **temperature softmax at T=0.5** (`healnet.py:419`) — folded here as a single
+  multiplicative factor on the scale so the fused kernel needs no extra pass;
+- optional dropout on the attention probabilities (`healnet.py:421`);
+- weighted sum over values.
+
+This module is pure-JAX; the Pallas flash kernel in
+:mod:`healnet_tpu.ops.flash_attention` implements the identical math with
+online softmax and is parity-tested against this implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from healnet_tpu.ops.activations import mask_value
+
+
+def attention_scores(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    scale: float,
+    temperature: float = 1.0,
+    kv_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Masked, temperature-scaled attention probabilities.
+
+    Args:
+        q: queries ``(b, h, lq, d)``.
+        k: keys ``(b, h, lkv, d)``.
+        scale: ``dim_head ** -0.5``.
+        temperature: softmax temperature (0.5 in HealNet).
+        kv_mask: optional boolean key mask ``(b, lkv)``; True = attend.
+
+    Returns:
+        probabilities ``(b, h, lq, lkv)``.
+    """
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    if kv_mask is not None:
+        fill = mask_value(sim.dtype)
+        sim = jnp.where(kv_mask[:, None, None, :], sim, fill)
+    return jax.nn.softmax(sim / temperature, axis=-1)
+
+
+def multihead_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    temperature: float = 0.5,
+    kv_mask: Optional[jnp.ndarray] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    return_weights: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Multi-head attention over already-projected q/k/v.
+
+    Args:
+        q: ``(b, h, lq, d)``; k, v: ``(b, h, lkv, d)``.
+
+    Returns:
+        (output ``(b, lq, h * d)``, attention weights ``(b, h, lq, lkv)`` or None).
+    """
+    attn = attention_scores(q, k, scale, temperature=temperature, kv_mask=kv_mask)
+    weights = attn if return_weights else None
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+    b, h, lq, d = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * d)
+    return out, weights
+
+
+def split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """``(b, n, h * d) -> (b, h, n, d)``."""
+    b, n, hd = x.shape
+    d = hd // heads
+    return x.reshape(b, n, heads, d).transpose(0, 2, 1, 3)

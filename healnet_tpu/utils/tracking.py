@@ -1,0 +1,91 @@
+"""Experiment tracking: wandb when available, local JSONL otherwise.
+
+The reference logs everything through wandb (`/root/reference/healnet/main.py:57,144-160,479-501`
+and `/root/reference/healnet/utils/wb.py:8-23`). wandb is not a baked-in dependency on
+the TPU image, so this module provides a uniform `Tracker` facade:
+
+- if `wandb` is importable *and* the config enables it, calls are forwarded;
+- otherwise metrics are appended to `<log_dir>/metrics.jsonl` and a run summary to
+  `<log_dir>/summary.json`, so sweeps/aggregation remain scriptable offline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+try:  # pragma: no cover - exercised only where wandb is installed
+    import wandb as _wandb
+
+    _WANDB_AVAILABLE = True
+except Exception:  # pragma: no cover
+    _wandb = None
+    _WANDB_AVAILABLE = False
+
+
+def wandb_available() -> bool:
+    return _WANDB_AVAILABLE
+
+
+class Tracker:
+    """Minimal tracking facade with wandb-compatible surface."""
+
+    def __init__(
+        self,
+        project: str = "healnet_tpu",
+        name: Optional[str] = None,
+        config: Optional[Dict[str, Any]] = None,
+        log_dir: Optional[str] = None,
+        use_wandb: bool = False,
+    ):
+        self.project = project
+        self.name = name or f"run-{time.strftime('%Y%m%d-%H%M%S')}-{uuid.uuid4().hex[:6]}"
+        self.config = dict(config or {})
+        self.use_wandb = bool(use_wandb and _WANDB_AVAILABLE)
+        self.summary: Dict[str, Any] = {}
+        self._step = 0
+
+        if self.use_wandb:  # pragma: no cover
+            _wandb.init(project=project, name=name, config=self.config, resume=True)
+            self.log_dir = Path(log_dir) if log_dir else Path(_wandb.run.dir)
+        else:
+            base = Path(log_dir) if log_dir else Path("logs")
+            self.log_dir = base / self.name
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._metrics_path = self.log_dir / "metrics.jsonl"
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None) -> None:
+        if self.use_wandb:  # pragma: no cover
+            _wandb.log(metrics, step=step)
+        step = self._step if step is None else step
+        self._step = max(self._step, step) + 1
+        record = {"step": int(step), "time": time.time()}
+        record.update({k: _to_py(v) for k, v in metrics.items()})
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        self.summary.update({k: _to_py(v) for k, v in metrics.items()})
+
+    def watch(self, *_args, **_kwargs) -> None:  # parity no-op (wandb.watch)
+        pass
+
+    def finish(self) -> None:
+        if self.use_wandb:  # pragma: no cover
+            _wandb.finish()
+        with open(self.log_dir / "summary.json", "w") as f:
+            json.dump(self.summary, f, indent=2, default=str)
+
+
+def _to_py(value: Any) -> Any:
+    """Convert numpy/jax scalars to plain Python for JSON."""
+    if hasattr(value, "item") and getattr(value, "ndim", 1) == 0:
+        try:
+            return value.item()
+        except Exception:
+            return str(value)
+    if isinstance(value, (list, tuple)):
+        return [_to_py(v) for v in value]
+    return value
