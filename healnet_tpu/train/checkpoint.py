@@ -1,0 +1,67 @@
+"""Durable checkpointing via Orbax.
+
+The reference keeps best weights only in memory during training
+(`/root/reference/healnet/utils/train_utils.py:59-84`) and durably saves just
+``best_model.pt`` when the explainer flag is set (`main.py:163-168`). This is
+the upgrade called for in SURVEY.md §5: full train-state checkpointing
+(params + optimiser state + epoch + metrics) with atomic saves and resume.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    """Save/restore full training state under a run directory."""
+
+    def __init__(self, directory: Union[str, Path]):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def save(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any = None,
+        metrics: Optional[Dict[str, Any]] = None,
+        keep_tag: str = "latest",
+    ) -> Path:
+        path = self.directory / f"step_{step:08d}"
+        state = {"params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        self._ckptr.save(path, state, force=True)
+        meta = {"step": step, "metrics": metrics or {}}
+        with open(self.directory / f"{keep_tag}.json", "w") as f:
+            json.dump(meta, f, default=str)
+        return path
+
+    def save_best(self, params: Any, metrics: Optional[Dict[str, Any]] = None) -> Path:
+        path = self.directory / "best"
+        self._ckptr.save(path, {"params": params}, force=True)
+        with open(self.directory / "best.json", "w") as f:
+            json.dump({"metrics": metrics or {}}, f, default=str)
+        return path
+
+    def restore(self, step: Optional[int] = None, tag: str = "latest") -> Dict[str, Any]:
+        if step is None:
+            with open(self.directory / f"{tag}.json") as f:
+                step = json.load(f)["step"]
+        return self._ckptr.restore(self.directory / f"step_{step:08d}")
+
+    def restore_best(self) -> Any:
+        return self._ckptr.restore(self.directory / "best")["params"]
+
+    def latest_step(self) -> Optional[int]:
+        steps = sorted(
+            int(p.name.split("_")[1]) for p in self.directory.glob("step_*")
+        )
+        return steps[-1] if steps else None

@@ -1,0 +1,366 @@
+"""Jitted survival training loop.
+
+TPU-native counterpart of the reference train/eval loops
+(`/root/reference/healnet/main.py:370-628`):
+
+- one jitted, donated ``train_step`` (forward + loss + L1 reg + Adam/OneCycle
+  update) instead of per-batch Python autograd;
+- static batch shapes: the trailing partial batch is padded and masked via
+  per-sample weights, so XLA compiles exactly one training program;
+- per-epoch censored concordance index computed host-side from accumulated
+  risk scores (`main.py:472-478`);
+- early stopping on validation loss with in-memory best-params capture and
+  restore (`main.py:397-399,492-495`);
+- missing-modality ablation modes "50" / "omic" / "wsi" (`main.py:504-541`),
+  implemented with presence masks rather than the reference's accidental
+  pass-the-wrong-tensor mechanism (`main.py:526-541` feeds the remaining
+  modality through the *other* modality's projections, which silently fails
+  into a no-op via the model's blanket try/except — here the semantics
+  "evaluate with modality m absent" are explicit);
+- the reference's ``surv_loss / gc`` (gc=16) scaling oddity (`main.py:463`)
+  is reproduced behind ``gc_compat`` (default on, for run-for-run c-index
+  parity); set ``gc_compat=1`` for the un-scaled loss.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from healnet_tpu.train.losses import (
+    CoxPHSurvLoss,
+    ce_loss,
+    hazards_survival_risk,
+    nll_loss,
+)
+from healnet_tpu.train.metrics import concordance_index_censored
+from healnet_tpu.train.schedule import make_optimizer
+from healnet_tpu.utils.train_utils import EarlyStopping, l1_norm
+
+
+def iterate_batches(
+    data: Dict[str, Any],
+    batch_size: int,
+    shuffle: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Yield static-shape batches; the trailing batch is padded and masked."""
+    n = data["y_disc"].shape[0]
+    idx = np.arange(n)
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(idx)
+    for start in range(0, n, batch_size):
+        sel = idx[start : start + batch_size]
+        pad = batch_size - sel.shape[0]
+        mask = np.ones(batch_size, dtype=np.float32)
+        if pad > 0:
+            sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
+            mask[batch_size - pad :] = 0.0
+        batch = {
+            "tensors": tuple(np.asarray(t)[sel] for t in data["tensors"]),
+            "y_disc": np.asarray(data["y_disc"])[sel].astype(np.int32),
+            "censorship": np.asarray(data["censorship"])[sel].astype(np.float32),
+            "event_time": np.asarray(data["event_time"])[sel].astype(np.float32),
+            "sample_mask": mask,
+        }
+        if "presence" in data and data["presence"] is not None:
+            batch["presence"] = np.asarray(data["presence"])[sel].astype(np.float32)
+        yield batch
+
+
+class SurvivalTrainer:
+    """Trains a HealNet-style Flax module for discrete-time survival analysis.
+
+    Args:
+        module: a Flax module whose ``__call__(tensors, presence=..., ...)``
+            returns (b, n_bins) logits (e.g. :class:`HealNetModule` or any
+            baseline with the same signature).
+        loss_type: "nll" | "ce_survival" | "cox" (`main.py:439-448`).
+        l1: L1 regularisation weight (`main.py:452`).
+        gc_compat: divisor applied to the survival loss before backward,
+            matching the reference's gradient-accumulation oddity.
+    """
+
+    def __init__(
+        self,
+        module,
+        *,
+        loss_type: str = "nll",
+        alpha: float = 0.4,
+        l1: float = 0.0,
+        class_weights: Optional[np.ndarray] = None,
+        gc_compat: int = 16,
+        batch_size: int = 4,
+        epochs: int = 50,
+        max_lr: float = 8e-3,
+        patience: int = 5,
+        early_stopping: bool = True,
+        cycle_momentum: bool = True,
+        seed: int = 0,
+        tracker=None,
+        reg_topo: str = "healnet",
+        sources: Optional[List[str]] = None,
+        device_sharding=None,
+    ):
+        assert loss_type in ("nll", "ce_survival", "cox")
+        self.module = module
+        self.loss_type = loss_type
+        self.alpha = alpha
+        self.l1 = float(l1)
+        self.class_weights = (
+            None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
+        )
+        self.gc_compat = gc_compat
+        self.batch_size = batch_size
+        self.epochs = epochs
+        self.max_lr = max_lr
+        self.patience = patience
+        self.early_stopping = early_stopping
+        self.cycle_momentum = cycle_momentum
+        self.seed = seed
+        self.tracker = tracker
+        self.reg_topo = reg_topo
+        self.sources = sources
+        self.device_sharding = device_sharding
+        self.params = None
+        self.opt_state = None
+        self._opt = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------- building
+    def _surv_loss(self, logits, batch):
+        hazards, survival, risk = hazards_survival_risk(logits)
+        sw = batch["sample_mask"]
+        if self.loss_type == "nll":
+            loss = nll_loss(
+                hazards,
+                survival,
+                batch["y_disc"],
+                batch["censorship"],
+                weights=self.class_weights,
+                alpha=self.alpha,
+                sample_weights=sw,
+            )
+        elif self.loss_type == "ce_survival":
+            loss = ce_loss(
+                hazards,
+                survival,
+                batch["y_disc"],
+                batch["censorship"],
+                alpha=0.15,
+                sample_weights=sw,
+            )
+        else:  # cox
+            loss = CoxPHSurvLoss()(
+                hazards, survival, batch["censorship"], event_time=batch["event_time"]
+            )
+        return loss, risk
+
+    def _reg_skip(self) -> bool:
+        # reference gating (`train_utils.py:5-14`)
+        if self.reg_topo == "fcnn":
+            return True
+        if self.reg_topo == "mcat" and self.sources == ["omic"]:
+            return True
+        return False
+
+    def _build_steps(self, total_steps: int):
+        self._opt = make_optimizer(
+            self.max_lr, total_steps, cycle_momentum=self.cycle_momentum
+        )
+        module = self.module
+        l1 = 0.0 if self._reg_skip() else self.l1
+        gc = float(self.gc_compat)
+
+        def train_step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                logits = module.apply(
+                    {"params": p},
+                    batch["tensors"],
+                    presence=batch.get("presence"),
+                    deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                surv_loss, risk = self._surv_loss(logits, batch)
+                reg = l1 * l1_norm(p) if l1 > 0 else 0.0
+                total = surv_loss / gc + reg
+                return total, (surv_loss, risk)
+
+            (_, (surv_loss, risk)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = self._opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, surv_loss, risk
+
+        def eval_step(params, batch):
+            logits = module.apply(
+                {"params": params},
+                batch["tensors"],
+                presence=batch.get("presence"),
+                deterministic=True,
+            )
+            surv_loss, risk = self._surv_loss(logits, batch)
+            return surv_loss, risk, logits
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------- training
+    def init_params(self, data: Dict[str, Any]):
+        batch = next(iterate_batches(data, self.batch_size))
+        key = jax.random.PRNGKey(self.seed)
+        variables = self.module.init(
+            {"params": key, "dropout": key},
+            tuple(jnp.asarray(t) for t in batch["tensors"]),
+            presence=(
+                jnp.asarray(batch["presence"]) if "presence" in batch else None
+            ),
+            deterministic=True,
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def fit(
+        self,
+        train_data: Dict[str, Any],
+        val_data: Dict[str, Any],
+        test_data: Optional[Dict[str, Any]] = None,
+        fold: int = 1,
+        missing_ablation: bool = False,
+        verbose: bool = True,
+    ) -> Dict[str, Any]:
+        n_train = train_data["y_disc"].shape[0]
+        steps_per_epoch = int(np.ceil(n_train / self.batch_size))
+        total_steps = steps_per_epoch * self.epochs
+        self._build_steps(total_steps)
+        if self.params is None:
+            self.init_params(train_data)
+        self.opt_state = self._opt.init(self.params)
+
+        stopper = EarlyStopping(patience=self.patience, mode="min", verbose=verbose)
+        rng = jax.random.PRNGKey(self.seed + 1000 * fold)
+        np_rng = np.random.default_rng(self.seed + fold)
+
+        history = []
+        train_loss = train_c = val_loss = val_c = float("nan")
+        for epoch in range(1, self.epochs + 1):
+            t0 = time.time()
+            losses, risks, cens, times, masks = [], [], [], [], []
+            for batch in iterate_batches(
+                train_data, self.batch_size, shuffle=True, rng=np_rng
+            ):
+                rng, step_rng = jax.random.split(rng)
+                self.params, self.opt_state, loss, risk = self._train_step(
+                    self.params, self.opt_state, batch, step_rng
+                )
+                losses.append(loss)
+                risks.append(np.asarray(risk))
+                cens.append(batch["censorship"])
+                times.append(batch["event_time"])
+                masks.append(batch["sample_mask"])
+
+            mask = np.concatenate(masks) > 0
+            train_loss = float(np.mean([np.asarray(l) for l in losses]))
+            train_c = concordance_index_censored(
+                (1 - np.concatenate(cens)[mask]).astype(bool),
+                np.concatenate(times)[mask],
+                np.concatenate(risks)[mask],
+                tied_tol=1e-8,
+            )[0]
+
+            val_loss, val_c = self.evaluate(val_data)
+            history.append(
+                dict(epoch=epoch, train_loss=train_loss, train_c_index=train_c,
+                     val_loss=val_loss, val_c_index=val_c, seconds=time.time() - t0)
+            )
+            if verbose:
+                print(
+                    f"Epoch {epoch}: train_loss {train_loss:.4f} c {train_c:.4f} | "
+                    f"val_loss {val_loss:.4f} c {val_c:.4f} | {history[-1]['seconds']:.1f}s"
+                )
+            if self.tracker is not None:
+                self.tracker.log(
+                    {
+                        f"fold_{fold}_train_loss": train_loss,
+                        f"fold_{fold}_train_c_index": train_c,
+                        f"fold_{fold}_val_loss": val_loss,
+                        f"fold_{fold}_val_c_index": val_c,
+                    },
+                    step=epoch if fold == 1 else None,
+                )
+            if self.early_stopping and stopper.step(val_loss, self.params):
+                if verbose:
+                    print(f"Early stopping at epoch {epoch}")
+                self.params = stopper.load_best_weights(self.params)
+                break
+
+        results: Dict[str, Any] = {
+            "params": self.params,
+            "train_loss": train_loss,
+            "train_c_index": train_c,
+            "val_loss": val_loss,
+            "val_c_index": val_c,
+            "history": history,
+        }
+        if test_data is not None:
+            test_loss, test_c = self.evaluate(test_data)
+            results.update(test_loss=test_loss, test_c_index=test_c)
+            if self.tracker is not None:
+                self.tracker.log(
+                    {f"fold_{fold}_test_loss": test_loss, f"fold_{fold}_test_c_index": test_c}
+                )
+            if missing_ablation:
+                results["missing_performance"] = tuple(
+                    self.evaluate(test_data, missing_mode=m)[1]
+                    for m in ("50", "omic", "wsi")
+                )
+        return results
+
+    def evaluate(
+        self, data: Dict[str, Any], missing_mode: Optional[str] = None
+    ) -> Tuple[float, float]:
+        """Eval loss + c-index; optional missing-modality ablation.
+
+        missing_mode (cf. `main.py:526-541`): "50" alternates which modality is
+        dropped per batch; "omic" drops the omic modality; "wsi" drops the WSI
+        modality — all via presence masks on the same compiled program.
+        """
+        assert missing_mode in (None, "50", "omic", "wsi")
+        if self._eval_step is None:
+            self._build_steps(total_steps=1)
+        losses, risks, cens, times, masks = [], [], [], [], []
+        use_omic = True
+        n_mod = len(data["tensors"])
+        for batch in iterate_batches(data, self.batch_size):
+            if missing_mode is not None and n_mod >= 2:
+                presence = np.ones((self.batch_size, n_mod), dtype=np.float32)
+                if missing_mode == "50":
+                    drop = 1 if use_omic else 0
+                    use_omic = not use_omic
+                elif missing_mode == "omic":
+                    drop = 0
+                else:  # "wsi"
+                    drop = 1
+                presence[:, drop] = 0.0
+                batch["presence"] = presence
+            loss, risk, _ = self._eval_step(self.params, batch)
+            losses.append(np.asarray(loss))
+            risks.append(np.asarray(risk))
+            cens.append(batch["censorship"])
+            times.append(batch["event_time"])
+            masks.append(batch["sample_mask"])
+        mask = np.concatenate(masks) > 0
+        c_index = concordance_index_censored(
+            (1 - np.concatenate(cens)[mask]).astype(bool),
+            np.concatenate(times)[mask],
+            np.concatenate(risks)[mask],
+            tied_tol=1e-8,
+        )[0]
+        return float(np.mean(losses)), c_index

@@ -1,0 +1,87 @@
+"""Optimiser and schedule construction.
+
+The reference trains with Adam + OneCycleLR stepped per batch
+(`/root/reference/healnet/main.py:390-394,467`). torch's OneCycleLR defaults:
+``pct_start=0.3``, cosine annealing, ``div_factor=25`` (initial = max/25),
+``final_div_factor=1e4``, and — with Adam — cycling ``beta1`` between 0.95 and
+0.85 ("cycle momentum"). optax's :func:`cosine_onecycle_schedule` implements
+the identical LR shape; beta1 cycling is reproduced with
+``inject_hyperparams`` so the full torch schedule is matched, not just the LR.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def onecycle_lr(
+    max_lr: float,
+    total_steps: int,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+) -> optax.Schedule:
+    # optax builds a piecewise schedule with a warmup interval of
+    # int(pct_start * total_steps) steps; for very short runs that rounds to
+    # zero and the schedule divides by zero (NaN LRs). Enforce a floor that
+    # keeps every interval non-empty.
+    total_steps = max(int(total_steps), int(np.ceil(1.0 / pct_start)) + 1)
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=max_lr,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+def onecycle_beta1(
+    total_steps: int,
+    pct_start: float = 0.3,
+    max_momentum: float = 0.95,
+    base_momentum: float = 0.85,
+):
+    """torch OneCycleLR momentum cycling: max -> base over warmup, back to max."""
+    warmup = max(int(pct_start * total_steps), 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        up = step <= warmup
+        # cosine interpolation in each phase
+        t1 = jnp.clip(step / warmup, 0.0, 1.0)
+        t2 = jnp.clip((step - warmup) / jnp.maximum(total_steps - warmup, 1), 0.0, 1.0)
+        phase1 = max_momentum + (base_momentum - max_momentum) * 0.5 * (
+            1.0 - jnp.cos(jnp.pi * t1)
+        )
+        phase2 = base_momentum + (max_momentum - base_momentum) * 0.5 * (
+            1.0 - jnp.cos(jnp.pi * t2)
+        )
+        return jnp.where(up, phase1, phase2)
+
+    return schedule
+
+
+def make_optimizer(
+    max_lr: float,
+    total_steps: int,
+    cycle_momentum: bool = True,
+    pct_start: float = 0.3,
+    weight_decay: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Adam + OneCycle (LR and beta1), torch-default shape."""
+    lr = onecycle_lr(max_lr, total_steps, pct_start=pct_start)
+    if cycle_momentum:
+        b1 = onecycle_beta1(total_steps, pct_start=pct_start)
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=b1)
+    else:
+        opt = optax.adam(learning_rate=lr)
+    if weight_decay is not None and not (
+        isinstance(weight_decay, str) or weight_decay in (0, 0.0)
+    ):
+        opt = optax.chain(optax.add_decayed_weights(float(weight_decay)), opt)
+    return opt

@@ -66,8 +66,10 @@ class EarlyStopping:
                 )
             self.best_metric = metric
             self.counter = 0
-            # JAX arrays are immutable: holding the pytree is a safe snapshot.
-            self.best_params = params
+            # Deep-copy onto fresh device buffers: train steps donate their
+            # parameter buffers (donate_argnums), so merely holding the pytree
+            # would reference invalidated storage once the next step runs.
+            self.best_params = jax.tree_util.tree_map(jnp.copy, params)
         else:
             self.counter += 1
             if self.verbose:

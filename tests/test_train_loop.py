@@ -1,0 +1,133 @@
+"""End-to-end training loop tests on synthetic survival data (CPU)."""
+
+import numpy as np
+import pytest
+
+from healnet_tpu.models import HealNetModule
+from healnet_tpu.train import SurvivalTrainer, iterate_batches, make_optimizer, onecycle_lr
+
+
+def _synthetic_survival(n=48, tab_d=32, patches=10, patch_d=16, seed=0, informative=True):
+    rng = np.random.default_rng(seed)
+    tab = rng.normal(size=(n, 1, tab_d)).astype(np.float32)
+    wsi = rng.normal(size=(n, patches, patch_d)).astype(np.float32)
+    # make survival depend on the first tabular feature so learning is possible
+    signal = tab[:, 0, 0] if informative else rng.normal(size=n)
+    event_time = np.exp(1.5 + signal + 0.1 * rng.normal(size=n)).astype(np.float32)
+    censorship = (rng.uniform(size=n) < 0.3).astype(np.float32)
+    qs = np.quantile(event_time, [0.25, 0.5, 0.75])
+    y_disc = np.digitize(event_time, qs).astype(np.int32)
+    return {
+        "tensors": (tab, wsi),
+        "y_disc": y_disc,
+        "censorship": censorship,
+        "event_time": event_time,
+    }
+
+
+def _module():
+    return HealNetModule(
+        n_modalities=2,
+        channel_dims=(32, 16),
+        num_spatial_axes=(1, 1),
+        out_dims=4,
+        depth=1,
+        l_c=8,
+        l_d=16,
+        x_heads=1,
+        l_heads=2,
+        cross_dim_head=8,
+        latent_dim_head=8,
+        self_per_cross_attn=0,
+    )
+
+
+def test_iterate_batches_pads_and_masks():
+    data = _synthetic_survival(n=10)
+    batches = list(iterate_batches(data, batch_size=4))
+    assert len(batches) == 3
+    assert all(b["tensors"][0].shape[0] == 4 for b in batches)
+    assert batches[-1]["sample_mask"].sum() == 2
+
+
+def test_onecycle_schedule_shape():
+    sched = onecycle_lr(max_lr=0.008, total_steps=100)
+    lrs = [float(sched(s)) for s in range(101)]
+    assert abs(max(lrs) - 0.008) < 1e-6
+    assert np.argmax(lrs) == 30  # pct_start=0.3
+    assert lrs[0] == pytest.approx(0.008 / 25, rel=1e-3)
+    assert lrs[-1] < lrs[0]
+
+
+def test_trainer_reduces_loss_and_learns():
+    train = _synthetic_survival(n=48, seed=0)
+    val = _synthetic_survival(n=24, seed=1)
+    trainer = SurvivalTrainer(
+        _module(),
+        loss_type="nll",
+        batch_size=8,
+        epochs=8,
+        max_lr=5e-3,
+        patience=8,
+        early_stopping=False,
+        gc_compat=1,
+        seed=0,
+    )
+    res = trainer.fit(train, val, verbose=False)
+    first, last = res["history"][0], res["history"][-1]
+    assert last["train_loss"] < first["train_loss"]
+    # informative signal -> better-than-chance concordance on train
+    assert last["train_c_index"] > 0.55
+    assert np.isfinite(res["val_c_index"])
+
+
+def test_trainer_early_stopping_restores_best():
+    train = _synthetic_survival(n=32, seed=0)
+    val = _synthetic_survival(n=16, seed=1)
+    trainer = SurvivalTrainer(
+        _module(), batch_size=8, epochs=30, patience=2, early_stopping=True, seed=0
+    )
+    res = trainer.fit(train, val, verbose=False)
+    assert len(res["history"]) <= 30
+    assert res["params"] is not None
+
+
+def test_trainer_missing_ablation():
+    train = _synthetic_survival(n=32, seed=0)
+    val = _synthetic_survival(n=16, seed=1)
+    test = _synthetic_survival(n=16, seed=2)
+    trainer = SurvivalTrainer(
+        _module(), batch_size=8, epochs=2, early_stopping=False, seed=0
+    )
+    res = trainer.fit(train, val, test, missing_ablation=True, verbose=False)
+    assert "missing_performance" in res
+    m50, momic, mwsi = res["missing_performance"]
+    assert all(np.isfinite(v) for v in (m50, momic, mwsi))
+
+
+def test_trainer_loss_types():
+    train = _synthetic_survival(n=24, seed=0)
+    val = _synthetic_survival(n=16, seed=1)
+    for loss_type in ("ce_survival", "cox"):
+        trainer = SurvivalTrainer(
+            _module(), loss_type=loss_type, batch_size=8, epochs=1,
+            early_stopping=False, seed=0,
+        )
+        res = trainer.fit(train, val, verbose=False)
+        assert np.isfinite(res["train_loss"])
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from healnet_tpu.train import Checkpointer
+
+    ckpt = Checkpointer(tmp_path / "run")
+    params = {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros(3)}}
+    ckpt.save(step=5, params=params, metrics={"val_loss": 0.5})
+    restored = ckpt.restore()
+    np.testing.assert_allclose(np.asarray(restored["params"]["dense"]["kernel"]), 1.0)
+    assert ckpt.latest_step() == 5
+    ckpt.save_best(params, metrics={"c": 0.7})
+    best = ckpt.restore_best()
+    np.testing.assert_allclose(np.asarray(best["dense"]["bias"]), 0.0)
