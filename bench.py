@@ -1,0 +1,219 @@
+"""Benchmark: HealNet fusion fwd+bwd training-step throughput (samples/sec/chip).
+
+The reference repo never measured throughput (SURVEY.md §6); the north-star
+metric is fusion fwd+bwd samples/sec/chip on the BRCA-tuned model with
+omic + WSI-patch-bag modalities (BASELINE.json). Since no A100 exists in this
+environment, ``vs_baseline`` is the speedup over the Torch reference
+implementation executed on this host's CPU for the identical configuration
+(measured once, cached in BASELINE_LOCAL.json) — both numbers are generated,
+not copied, per BASELINE.md.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+# benchmark configuration: BRCA-tuned model, WSI bag of 4096 patches
+BATCH = 8
+PATCHES = 4096
+OMIC_D = 2000
+PATCH_D = 2048
+OUT_DIMS = 4
+WARMUP = 3
+ITERS = 20
+
+BASELINE_CACHE = Path(__file__).parent / "BASELINE_LOCAL.json"
+
+
+def _batch(rng):
+    return {
+        "tensors": (
+            rng.normal(size=(BATCH, 1, OMIC_D)).astype(np.float32),
+            rng.normal(size=(BATCH, PATCHES, PATCH_D)).astype(np.float32),
+        ),
+        "y_disc": rng.integers(0, OUT_DIMS, size=BATCH).astype(np.int32),
+        "censorship": rng.integers(0, 2, size=BATCH).astype(np.float32),
+        "event_time": rng.uniform(1, 100, size=BATCH).astype(np.float32),
+        "sample_mask": np.ones(BATCH, dtype=np.float32),
+    }
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from healnet_tpu.models import HealNetModule
+    from healnet_tpu.train import make_optimizer
+    from healnet_tpu.train.losses import survival_loss
+    from healnet_tpu.utils.train_utils import l1_norm
+    import optax
+
+    module = HealNetModule(
+        n_modalities=2,
+        channel_dims=(OMIC_D, PATCH_D),
+        num_spatial_axes=(1, 1),
+        out_dims=OUT_DIMS,
+        depth=2,
+        num_freq_bands=2,
+        max_freq=2.0,
+        l_c=17,
+        l_d=126,
+        x_heads=1,
+        l_heads=8,
+        cross_dim_head=63,
+        latent_dim_head=20,
+        self_per_cross_attn=0,
+        snn=True,
+        dtype=jnp.bfloat16,           # MXU-friendly compute; params stay fp32
+        attention_impl="auto",        # flash kernel on TPU for the 4k context
+    )
+    rng = np.random.default_rng(0)
+    batch = jax.tree_util.tree_map(jnp.asarray, _batch(rng))
+    params = module.init(jax.random.PRNGKey(0), batch["tensors"])["params"]
+    opt = make_optimizer(8e-3, total_steps=1000)
+    opt_state = opt.init(params)
+
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            logits = module.apply(
+                {"params": p}, batch["tensors"], deterministic=False,
+                rngs={"dropout": key},
+            )
+            surv, _ = survival_loss(logits.astype(jnp.float32), batch, loss_type="nll")
+            return surv / 16.0 + 1e-6 * l1_norm(p)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # NOTE: on this image jax.block_until_ready does NOT synchronise with the
+    # axon-tunnelled TPU; the steps are chained through carried state inside a
+    # single jitted loop and timing is closed by a scalar readback, which is
+    # the only reliable fence. The batch is a loop ARGUMENT (not a closure)
+    # so the 270MB of modality data is not baked into the compiled program.
+    @jax.jit
+    def loop(params, opt_state, batch, n):
+        def body(i, carry):
+            params, opt_state, _ = carry
+            return train_step(
+                params, opt_state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(0), i),
+            )
+        return jax.lax.fori_loop(0, n, body, (params, opt_state, jnp.float32(0)))
+
+    p, s, loss = loop(params, opt_state, batch, WARMUP)
+    float(loss)  # force completion
+    t0 = time.perf_counter()
+    _, _, loss = loop(p, s, batch, 1)
+    float(loss)
+    base = time.perf_counter() - t0  # 1 step + dispatch/readback overhead
+    t0 = time.perf_counter()
+    _, _, loss = loop(p, s, batch, 1 + ITERS)
+    float(loss)
+    dt = (time.perf_counter() - t0) - base
+    return BATCH * ITERS / dt
+
+
+def bench_torch_reference() -> float:
+    """Torch reference model fwd+bwd on host CPU, same config (cached)."""
+    if BASELINE_CACHE.exists():
+        try:
+            return float(json.loads(BASELINE_CACHE.read_text())["torch_cpu_samples_per_sec"])
+        except Exception:
+            pass
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_healnet", "/root/reference/healnet/models/healnet.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_healnet"] = mod
+    spec.loader.exec_module(mod)
+
+    model = mod.HealNet(
+        n_modalities=2,
+        channel_dims=[OMIC_D, PATCH_D],
+        num_spatial_axes=[1, 1],
+        out_dims=OUT_DIMS,
+        depth=2,
+        num_freq_bands=2,
+        max_freq=2.0,
+        l_c=17,
+        l_d=126,
+        x_heads=1,
+        l_heads=8,
+        cross_dim_head=63,
+        latent_dim_head=20,
+        self_per_cross_attn=0,
+        snn=True,
+    )
+    opt = torch.optim.Adam(model.parameters(), lr=8e-3)
+    rng = np.random.default_rng(0)
+    tab = torch.tensor(rng.normal(size=(BATCH, 1, OMIC_D)).astype(np.float32))
+    wsi = torch.tensor(rng.normal(size=(BATCH, PATCHES, PATCH_D)).astype(np.float32))
+    y = torch.tensor(rng.integers(0, OUT_DIMS, size=BATCH))
+    c = torch.tensor(rng.integers(0, 2, size=BATCH).astype(np.float32))
+
+    def step():
+        opt.zero_grad()
+        logits = model([tab.clone(), wsi.clone()])
+        hazards = torch.sigmoid(logits)
+        S = torch.cumprod(1 - hazards, dim=1)
+        S_pad = torch.cat([torch.ones_like(c).view(-1, 1), S], 1)
+        yv = y.view(-1, 1)
+        cv = c.view(-1, 1)
+        unc = -(1 - cv) * (
+            torch.log(torch.gather(S_pad, 1, yv).clamp(min=1e-7))
+            + torch.log(torch.gather(hazards, 1, yv).clamp(min=1e-7))
+        )
+        cen = -cv * torch.log(torch.gather(S_pad, 1, yv + 1).clamp(min=1e-7))
+        loss = (0.6 * (cen + unc) + 0.4 * unc).mean() / 16.0
+        loss.backward()
+        opt.step()
+
+    for _ in range(2):
+        step()
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        step()
+    dt = time.perf_counter() - t0
+    result = BATCH * n / dt
+    BASELINE_CACHE.write_text(
+        json.dumps({"torch_cpu_samples_per_sec": result, "note": "torch reference fwd+bwd, host CPU (no GPU available)"})
+    )
+    return result
+
+
+def main():
+    value = bench_jax()
+    try:
+        baseline = bench_torch_reference()
+        vs = value / baseline if baseline > 0 else float("nan")
+    except Exception:
+        baseline, vs = None, float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "healnet_fusion_fwd_bwd_throughput",
+                "value": round(value, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

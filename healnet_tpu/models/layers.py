@@ -121,14 +121,15 @@ class Attention(nn.Module):
         if dropout_rate > 0.0:
             dropout_rng = self.make_rng("dropout")
 
-        use_flash = self._should_use_flash(return_weights, dropout_rate, kh.shape[2])
+        use_flash = self._should_use_flash(
+            return_weights, dropout_rate, qh.shape[0], qh.shape[2], kh.shape[2]
+        )
         if use_flash:
             from healnet_tpu.ops.flash_attention import flash_cross_attention
 
             out = flash_cross_attention(
                 qh, kh, vh, scale=scale, temperature=self.temperature, kv_mask=kv_mask
             )
-            b, h, lq, d = out.shape if out.ndim == 4 else (None,) * 4
             weights = None
         else:
             out, weights = multihead_attention(
@@ -147,7 +148,9 @@ class Attention(nn.Module):
         out = nn.leaky_relu(out, negative_slope=1e-2)
         return out, weights
 
-    def _should_use_flash(self, return_weights: bool, dropout_rate: float, lkv: int) -> bool:
+    def _should_use_flash(
+        self, return_weights: bool, dropout_rate: float, b: int, lq: int, lkv: int
+    ) -> bool:
         if return_weights or dropout_rate > 0.0:
             return False
         if self.attention_impl == "flash":
@@ -157,9 +160,12 @@ class Attention(nn.Module):
                 on_tpu = jax.devices()[0].platform == "tpu"
             except Exception:
                 on_tpu = False
-            # flash wins once the KV context no longer fits comfortably in VMEM
-            # alongside the einsum intermediates.
-            return on_tpu and lkv >= 1024
+            # Measured on v5e: XLA's einsum attention sits near the HBM
+            # roofline for latent-bottleneck shapes (small lq), so flash only
+            # pays off where XLA would materialise multi-GB (lq x lkv)
+            # weight tensors in fwd+bwd — i.e. when they threaten HBM capacity.
+            weights_bytes = b * self.heads * lq * lkv * 4
+            return on_tpu and weights_bytes > 2 * 1024**3
         return False
 
 

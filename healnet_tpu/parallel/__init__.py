@@ -1,0 +1,35 @@
+from healnet_tpu.parallel.mesh import (
+    AXIS_DATA,
+    AXIS_MODEL,
+    AXIS_SEQ,
+    batch_sharding,
+    context_sharding,
+    data_parallel_mesh,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_params,
+)
+from healnet_tpu.parallel.train import (
+    batch_shardings,
+    init_sharded_state,
+    make_sharded_train_step,
+    put_batch,
+)
+
+__all__ = [
+    "AXIS_DATA",
+    "AXIS_MODEL",
+    "AXIS_SEQ",
+    "batch_sharding",
+    "context_sharding",
+    "data_parallel_mesh",
+    "make_mesh",
+    "param_shardings",
+    "replicated",
+    "shard_params",
+    "batch_shardings",
+    "init_sharded_state",
+    "make_sharded_train_step",
+    "put_batch",
+]

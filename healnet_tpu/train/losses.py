@@ -212,6 +212,44 @@ class CoxPHSurvLoss:
         return cox_ph_loss(theta, order_values, censorship)
 
 
+def survival_loss(
+    logits: jnp.ndarray,
+    batch,
+    loss_type: str = "nll",
+    alpha: float = 0.4,
+    class_weights: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Loss-switch used by the train loops (`main.py:439-448`).
+
+    Args:
+        batch: mapping with "y_disc", "censorship", "event_time", and optional
+            "sample_mask" (padded-row mask).
+
+    Returns:
+        (scalar loss, per-sample risk scores).
+    """
+    hazards, survival, risk = hazards_survival_risk(logits)
+    sw = batch.get("sample_mask")
+    if loss_type == "nll":
+        loss = nll_loss(
+            hazards, survival, batch["y_disc"], batch["censorship"],
+            weights=class_weights, alpha=alpha, sample_weights=sw,
+        )
+    elif loss_type == "ce_survival":
+        loss = ce_loss(
+            hazards, survival, batch["y_disc"], batch["censorship"],
+            alpha=0.15, sample_weights=sw,
+        )
+    elif loss_type == "cox":
+        loss = cox_ph_loss(
+            -jnp.sum(survival, axis=1), batch["event_time"], batch["censorship"],
+            sample_weights=sw,
+        )
+    else:
+        raise ValueError(f"unknown loss_type {loss_type}")
+    return loss, risk
+
+
 def _reduce_mean(per_sample: jnp.ndarray, sample_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
     if sample_weights is None:
         return jnp.mean(per_sample)

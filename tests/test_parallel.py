@@ -1,0 +1,138 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from healnet_tpu.models import HealNetModule
+from healnet_tpu.parallel import (
+    AXIS_DATA,
+    AXIS_MODEL,
+    AXIS_SEQ,
+    init_sharded_state,
+    make_mesh,
+    make_sharded_train_step,
+    param_shardings,
+    put_batch,
+)
+from healnet_tpu.train import make_optimizer
+
+
+def _module():
+    return HealNetModule(
+        n_modalities=2,
+        channel_dims=(32, 16),
+        num_spatial_axes=(1, 1),
+        out_dims=4,
+        depth=2,
+        l_c=8,
+        l_d=32,
+        x_heads=2,
+        l_heads=2,
+        cross_dim_head=16,
+        latent_dim_head=16,
+        self_per_cross_attn=1,
+    )
+
+
+def _batch(b=8, tokens=16):
+    rng = np.random.default_rng(0)
+    return {
+        "tensors": (
+            rng.normal(size=(b, 1, 32)).astype(np.float32),
+            rng.normal(size=(b, tokens, 16)).astype(np.float32),
+        ),
+        "y_disc": rng.integers(0, 4, size=b).astype(np.int32),
+        "censorship": rng.integers(0, 2, size=b).astype(np.float32),
+        "event_time": rng.uniform(1, 100, size=b).astype(np.float32),
+        "sample_mask": np.ones(b, dtype=np.float32),
+    }
+
+
+def test_mesh_factoring():
+    mesh = make_mesh(8)
+    assert mesh.axis_names == (AXIS_DATA, AXIS_SEQ, AXIS_MODEL)
+    assert mesh.devices.shape == (2, 2, 2)
+    mesh1 = make_mesh(1)
+    assert mesh1.devices.shape == (1, 1, 1)
+
+
+def test_param_tp_rules():
+    mesh = make_mesh(8)
+    module = _module()
+    batch = _batch()
+    params = module.init(
+        jax.random.PRNGKey(0), tuple(jnp.asarray(t) for t in batch["tensors"])
+    )["params"]
+    shardings = param_shardings(params, mesh, tensor_parallel=True)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {
+        "/".join(str(getattr(k, "key", k)) for k in path): s.spec
+        for path, s in flat
+    }
+    # column-parallel q projection: output features split over model axis
+    q_specs = [v for k, v in specs.items() if k.endswith("to_q/kernel")]
+    assert all(v == jax.sharding.PartitionSpec(None, AXIS_MODEL) for v in q_specs)
+    # row-parallel out projection
+    o_specs = [v for k, v in specs.items() if k.endswith("to_out/kernel")]
+    assert all(v == jax.sharding.PartitionSpec(AXIS_MODEL, None) for v in o_specs)
+    # latents replicated
+    assert specs["latents"] == jax.sharding.PartitionSpec()
+
+
+def test_sharded_batch_placement():
+    mesh = make_mesh(8)
+    batch = put_batch(_batch(b=8, tokens=16), mesh)
+    # batch axis sharded over data, token axis over seq
+    wsi = batch["tensors"][1]
+    assert tuple(wsi.sharding.spec)[:2] == (AXIS_DATA, AXIS_SEQ)
+    assert tuple(batch["y_disc"].sharding.spec) == (AXIS_DATA,)
+
+
+@pytest.mark.parametrize("tensor_parallel", [False, True])
+def test_sharded_train_step_runs_and_matches_single_device(tensor_parallel):
+    """One SPMD step on the 8-device mesh == the same step on 1 device."""
+    module = _module()
+    batch = _batch(b=8, tokens=16)
+    opt = make_optimizer(1e-3, 100, cycle_momentum=False)
+
+    def run(mesh):
+        params, opt_state = init_sharded_state(
+            module, opt, batch, mesh, seed=0, tensor_parallel=tensor_parallel
+        )
+        step = make_sharded_train_step(
+            module, opt, mesh, loss_type="nll", gc_compat=1.0,
+            tensor_parallel=tensor_parallel,
+        )
+        b = put_batch(batch, mesh)
+        params, opt_state, loss, risk = step(
+            params, opt_state, b, jax.random.PRNGKey(0)
+        )
+        return float(loss), np.asarray(risk), jax.tree_util.tree_map(np.asarray, params)
+
+    loss8, risk8, params8 = run(make_mesh(8))
+    loss1, risk1, params1 = run(make_mesh(1))
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    np.testing.assert_allclose(risk8, risk1, rtol=1e-4, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        params8,
+        params1,
+    )
+
+
+def test_multi_step_training_on_mesh():
+    module = _module()
+    mesh = make_mesh(8)
+    opt = make_optimizer(1e-3, 100, cycle_momentum=False)
+    batch = _batch(b=8)
+    params, opt_state = init_sharded_state(module, opt, batch, mesh, seed=0)
+    step = make_sharded_train_step(module, opt, mesh, gc_compat=1.0)
+    losses = []
+    for i in range(5):
+        b = put_batch(_batch(b=8), mesh)
+        params, opt_state, loss, _ = step(params, opt_state, b, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
