@@ -1,0 +1,287 @@
+"""TCGA multimodal survival dataset: omics tables + WSI patch features.
+
+Re-implementation of the reference loader semantics
+(`/root/reference/healnet/etl/loaders.py:44-395`) on a torch-free, host-side
+stack designed to feed a TPU input pipeline:
+
+- omics CSV (``omic/tcga_<ds>_all_clean.csv.zip``) with NaN -> column-mean
+  imputation (`loaders.py:303-306`), modality-overlap filtering
+  (`loaders.py:309-325`), and survival discretisation via pandas qcut on the
+  configured subset (`loaders.py:327-343`, bit-identical — see
+  :func:`healnet_tpu.etl.datasets.discretize_survival`);
+- omic tensor layout per ``omic_attention``: ``(n, 1, feat)`` (features as
+  channels of one token) vs ``(n, feat, 1)`` (`loaders.py:112-117`);
+- per-slide patch features from ``patch_features/<slide_id>.pt`` (torch) or
+  ``.npy``, transposed to ``(feat_dim, n_patches)`` exactly as the reference
+  (`loaders.py:382-395`);
+- ``__getitem__`` returns ``([tensors], censorship, event_time, y_disc)``
+  with per-source branches and early-fusion concat for ``fcnn`` /
+  ``healnet_early`` (`loaders.py:133-176`);
+- the multiprocessing Manager-dict patch cache (`loaders.py:127-128`) — an
+  anti-pattern on a TPU host — is replaced by a plain in-process LRU plus
+  the streaming batch iterator in :func:`iter_batches`, which is what the
+  double-buffered device prefetcher consumes.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from collections import OrderedDict
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from healnet_tpu.etl.base import Dataset
+from healnet_tpu.etl.datasets import discretize_survival
+
+_NON_FEATURE_COLS = [
+    "site", "oncotree_code", "case_id", "slide_id", "train",
+    "censorship", "survival_months", "y_disc",
+]
+
+
+class LRUCache:
+    """Single-process LRU for decoded patch-feature tensors."""
+
+    def __init__(self, capacity: int = 256):
+        self.capacity = capacity
+        self._store: "OrderedDict[Any, np.ndarray]" = OrderedDict()
+
+    def get(self, key):
+        if key in self._store:
+            self._store.move_to_end(key)
+            return self._store[key]
+        return None
+
+    def set(self, key, value) -> None:
+        if key in self._store:
+            self._store.move_to_end(key)
+        self._store[key] = value
+        while len(self._store) > self.capacity:
+            self._store.popitem(last=False)
+
+    def __contains__(self, key) -> bool:
+        return key in self._store
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+
+class TCGADataset(Dataset):
+    """TCGA omics + WSI-patch survival dataset."""
+
+    def __init__(
+        self,
+        dataset: str,
+        config,
+        level: int = 2,
+        filter_overlap: bool = True,
+        survival_analysis: bool = True,
+        num_classes: int = 2,
+        n_bins: int = 4,
+        sources: Sequence[str] = ("omic", "slides"),
+        log_dir=None,
+        cache_capacity: int = 256,
+    ):
+        valid_sources = ("omic", "slides")
+        assert all(s in valid_sources for s in sources), (
+            f"Invalid source specified. Valid sources are {list(valid_sources)}"
+        )
+        self.config = config
+        self.dataset = dataset
+        self.level = level
+        self.sources = list(sources)
+        self.filter_overlap = filter_overlap
+        self.survival_analysis = survival_analysis
+        self.num_classes = num_classes
+        self.n_bins = n_bins
+        self.log_dir = log_dir
+        self.subset = config.get("survival.subset", config.get("survival", {}).get("subset", "uncensored")) if hasattr(config, "get") else "uncensored"
+
+        tcga_path = Path(config["tcga_path"])
+        self.raw_path = tcga_path / "wsi" / dataset
+        self.prep_path = tcga_path / "wsi" / f"{dataset}_preprocessed_level{level}"
+        (self.prep_path / "patch_features").mkdir(parents=True, exist_ok=True)
+
+        patches_dir = self.prep_path / "patches"
+        self.slide_ids = [
+            p.rsplit(".", 1)[0] for p in sorted(os.listdir(patches_dir))
+        ] if patches_dir.exists() else []
+
+        model = config.get("model", "healnet") if hasattr(config, "get") else "healnet"
+        self.concat = model in ("fcnn", "healnet_early") and len(self.sources) > 1
+        self.model = model
+        self.omic_attention = bool(
+            config.get("omic_attention", True) if hasattr(config, "get") else True
+        )
+
+        self.omic_df = self.load_omic()
+        self.features = self.omic_df.drop(
+            columns=[c for c in _NON_FEATURE_COLS if c in self.omic_df.columns]
+        )
+        omic = self.features.values.astype(np.float32)
+        if model in ("healnet", "healnet_early"):
+            # (n, 1, feat) vs (n, feat, 1) (`loaders.py:112-117`)
+            self.omic_tensor = (
+                omic[:, None, :] if self.omic_attention else omic[:, :, None]
+            )
+        else:
+            self.omic_tensor = omic
+
+        self.censorship = self.omic_df["censorship"].values.astype(np.float32)
+        self.survival_months = self.omic_df["survival_months"].values.astype(np.float32)
+        self.y_disc = self.omic_df["y_disc"].values.astype(np.int32)
+        self._cache = LRUCache(cache_capacity)
+
+    # ----------------------------------------------------------------- omic
+    def load_omic(self, eps: float = 1e-6) -> pd.DataFrame:
+        """Load the omics table, impute, overlap-filter, and discretise."""
+        data_path = (
+            Path(self.config["tcga_path"]) / "omic" / f"tcga_{self.dataset}_all_clean.csv.zip"
+        )
+        df = pd.read_csv(
+            data_path, compression="zip", header=0, index_col=0, low_memory=False
+        )
+        df = df.fillna(df.mean(numeric_only=True))
+
+        if self.filter_overlap and "slide_id" in df.columns:
+            slides_available = set(self.slide_ids)
+            omic_available = {sid[:-4] for sid in df["slide_id"]}
+            overlap = slides_available & omic_available
+            if len(slides_available) < len(omic_available):
+                keep = {sid + ".svs" for sid in overlap}
+                df = df[df["slide_id"].isin(keep)]
+            elif len(slides_available) > len(omic_available):
+                self.slide_ids = sorted(overlap)
+
+        df["y_disc"] = discretize_survival(
+            df, n_bins=self.n_bins, subset=self.subset, eps=eps
+        )
+        if self.log_dir is not None:
+            df.to_csv(
+                Path(self.log_dir) / f"{self.dataset}_omic_overlap.csv.zip",
+                compression="zip",
+            )
+        return df
+
+    # --------------------------------------------------------------- slides
+    def load_patch_features(self, slide_id: str) -> np.ndarray:
+        """Per-slide patch features, transposed to (feat_dim, n_patches)."""
+        base = self.prep_path / "patch_features"
+        npy = base / f"{slide_id}.npy"
+        if npy.exists():
+            feats = np.load(npy)
+        else:
+            import torch  # torch-cpu: only for decoding reference .pt artifacts
+
+            with open(base / f"{slide_id}.pt", "rb") as f:
+                feats = torch.load(f, weights_only=True).numpy()
+        return np.ascontiguousarray(feats.T.astype(np.float32))
+
+    def _slide_tensor(self, index: int) -> np.ndarray:
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
+        slide_id = self.omic_df.iloc[index]["slide_id"].rsplit(".", 1)[0]
+        tensor = self.load_patch_features(slide_id)
+        self._cache.set(index, tensor)
+        return tensor
+
+    # ------------------------------------------------------------- indexing
+    def __len__(self) -> int:
+        if self.sources == ["omic"]:
+            return self.omic_df.shape[0]
+        return len(self.slide_ids)
+
+    def __getitem__(self, index: int):
+        y_disc = self.y_disc[index]
+        censorship = self.censorship[index]
+        event_time = self.survival_months[index]
+
+        if self.sources == ["omic"]:
+            return [self.omic_tensor[index]], censorship, event_time, y_disc
+
+        if self.sources == ["slides"]:
+            slide = self._slide_tensor(index)
+            if self.model == "fcnn":
+                slide = slide.reshape(-1)
+            return [slide], censorship, event_time, y_disc
+
+        omic = self.omic_tensor[index]
+        slide = self._slide_tensor(index)
+        if self.concat:  # early fusion (`loaders.py:168-174`)
+            concat = np.concatenate([omic.reshape(-1), slide.reshape(-1)])
+            if self.model == "healnet_early":
+                concat = concat[None, :]
+            return [concat], censorship, event_time, y_disc
+        return [omic, slide], censorship, event_time, y_disc
+
+    # ------------------------------------------------------------- batching
+    def iter_batches(
+        self,
+        batch_size: int,
+        indices: Optional[np.ndarray] = None,
+        shuffle: bool = False,
+        rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = False,
+    ) -> Iterator[Dict[str, Any]]:
+        """Static-shape trainer batches (pad + mask), streaming from disk."""
+        idx = np.arange(len(self)) if indices is None else np.asarray(indices)
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(idx)
+        for start in range(0, len(idx), batch_size):
+            sel = idx[start : start + batch_size]
+            if drop_remainder and sel.shape[0] < batch_size:
+                return
+            pad = batch_size - sel.shape[0]
+            mask = np.ones(batch_size, dtype=np.float32)
+            if pad > 0:
+                sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
+                mask[batch_size - pad :] = 0.0
+            samples = [self[int(i)] for i in sel]
+            n_mod = len(samples[0][0])
+            yield {
+                "tensors": tuple(
+                    np.stack([s[0][m] for s in samples]) for m in range(n_mod)
+                ),
+                "censorship": np.asarray([s[1] for s in samples], np.float32),
+                "event_time": np.asarray([s[2] for s in samples], np.float32),
+                "y_disc": np.asarray([s[3] for s in samples], np.int32),
+                "sample_mask": mask,
+            }
+
+    def materialize(self, indices: Optional[np.ndarray] = None) -> Dict[str, Any]:
+        """Whole-split arrays for in-memory training (small datasets only)."""
+        idx = np.arange(len(self)) if indices is None else np.asarray(indices)
+        samples = [self[int(i)] for i in idx]
+        n_mod = len(samples[0][0])
+        return {
+            "tensors": tuple(
+                np.stack([s[0][m] for s in samples]) for m in range(n_mod)
+            ),
+            "censorship": np.asarray([s[1] for s in samples], np.float32),
+            "event_time": np.asarray([s[2] for s in samples], np.float32),
+            "y_disc": np.asarray([s[3] for s in samples], np.int32),
+        }
+
+    # ---------------------------------------------------------------- info
+    def get_info(self, full_detail: bool = False) -> Dict[str, Any]:
+        """Dataset summary (reference prints; we return a dict and print)."""
+        info = {
+            "dataset": self.dataset.upper(),
+            "molecular_shape": tuple(self.omic_df.shape),
+            "n_slides": len(self.slide_ids),
+            "sources": self.sources,
+            "censored_share": float(
+                np.round((self.omic_df["censorship"] == 1).mean(), 3)
+            ),
+            "survival_bin_sizes": dict(
+                self.omic_df["y_disc"].value_counts().sort_index()
+            ),
+        }
+        for key, value in info.items():
+            print(f"{key}: {value}")
+        return info

@@ -44,12 +44,21 @@ from healnet_tpu.utils.train_utils import EarlyStopping, l1_norm
 
 
 def iterate_batches(
-    data: Dict[str, Any],
+    data,
     batch_size: int,
     shuffle: bool = False,
     rng: Optional[np.random.Generator] = None,
 ) -> Iterator[Dict[str, Any]]:
-    """Yield static-shape batches; the trailing batch is padded and masked."""
+    """Yield static-shape batches; the trailing batch is padded and masked.
+
+    ``data`` is either a dict of whole-split arrays, or a streaming source
+    exposing ``iter_batches(batch_size, shuffle=..., rng=...)`` (e.g.
+    :class:`healnet_tpu.etl.TCGADataset`), letting the same trainer consume
+    in-memory and disk-streaming datasets.
+    """
+    if hasattr(data, "iter_batches"):
+        yield from data.iter_batches(batch_size, shuffle=shuffle, rng=rng)
+        return
     n = data["y_disc"].shape[0]
     idx = np.arange(n)
     if shuffle:
@@ -236,7 +245,11 @@ class SurvivalTrainer:
         missing_ablation: bool = False,
         verbose: bool = True,
     ) -> Dict[str, Any]:
-        n_train = train_data["y_disc"].shape[0]
+        n_train = (
+            len(train_data)
+            if hasattr(train_data, "iter_batches")
+            else train_data["y_disc"].shape[0]
+        )
         steps_per_epoch = int(np.ceil(n_train / self.batch_size))
         total_steps = steps_per_epoch * self.epochs
         self._build_steps(total_steps)
@@ -337,8 +350,8 @@ class SurvivalTrainer:
             self._build_steps(total_steps=1)
         losses, risks, cens, times, masks = [], [], [], [], []
         use_omic = True
-        n_mod = len(data["tensors"])
         for batch in iterate_batches(data, self.batch_size):
+            n_mod = len(batch["tensors"])
             if missing_mode is not None and n_mod >= 2:
                 presence = np.ones((self.batch_size, n_mod), dtype=np.float32)
                 if missing_mode == "50":

@@ -1,0 +1,223 @@
+"""ETL tests: MMDataset, survival binning parity, TCGA loader on synthetic fixtures."""
+
+import io
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from healnet_tpu.etl import (
+    DevicePrefetcher,
+    LRUCache,
+    MMDataset,
+    TCGADataset,
+    class_weights,
+    discretize_survival,
+    train_val_test_split,
+)
+from healnet_tpu.utils import Box
+
+
+def test_mmdataset_indexing(rng):
+    tab = rng.normal(size=(50, 1, 10)).astype(np.float32)
+    img = rng.normal(size=(50, 8, 8, 3)).astype(np.float32)
+    target = rng.integers(0, 4, size=50)
+    ds = MMDataset([tab, img], target)
+    assert len(ds) == 50
+    sample, y = ds[7]
+    assert sample[0].shape == (1, 10) and sample[1].shape == (8, 8, 3)
+    assert y == target[7]
+    ds2 = MMDataset([tab, img])
+    assert len(ds2[0]) == 2
+
+
+def test_mmdataset_mismatched_lengths(rng):
+    with pytest.raises(AssertionError):
+        MMDataset([np.zeros((5, 2)), np.zeros((6, 2))])
+
+
+def test_discretize_survival_uncensored_subset():
+    # bins cut on the uncensored subset, eps-widened, applied to everyone
+    df = pd.DataFrame(
+        {
+            "survival_months": np.r_[np.linspace(1, 100, 40), [0.5, 150.0]],
+            "censorship": np.r_[np.zeros(40), [1, 1]],
+        }
+    )
+    y = discretize_survival(df, n_bins=4, subset="uncensored")
+    assert set(y.unique()) <= {0, 1, 2, 3}
+    # extreme censored samples fall in the outer bins thanks to eps-widening
+    assert y.iloc[-2] == 0 and y.iloc[-1] == 3
+    # roughly balanced over the uncensored subset
+    counts = y.iloc[:40].value_counts()
+    assert counts.min() >= 8
+
+
+def test_discretize_survival_matches_reference_formula():
+    """Cross-check against a direct pandas restatement of `loaders.py:327-343`."""
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            "survival_months": rng.uniform(1, 120, size=200),
+            "censorship": rng.integers(0, 2, size=200),
+        }
+    )
+    ours = discretize_survival(df, n_bins=4, subset="uncensored", eps=1e-6)
+    subset_df = df[df["censorship"] == 0]
+    _, q_bins = pd.qcut(subset_df["survival_months"], q=4, retbins=True, labels=False)
+    q_bins[-1] = df["survival_months"].max() + 1e-6
+    q_bins[0] = df["survival_months"].min() - 1e-6
+    ref = pd.cut(
+        df["survival_months"], bins=q_bins, labels=False, right=False,
+        include_lowest=True,
+    ).astype(int)
+    np.testing.assert_array_equal(ours.values, ref.values)
+
+
+def test_class_weights():
+    y = np.array([0, 0, 0, 1, 2, 2])
+    np.testing.assert_allclose(class_weights(y, "inverse"), [1 / 3, 1.0, 0.5])
+    np.testing.assert_allclose(
+        class_weights(y, "inverse_root"), [1 / np.sqrt(3), 1.0, 1 / np.sqrt(2)]
+    )
+    assert class_weights(y, "None") is None
+
+
+def test_split_sizes():
+    tr, te, va = train_val_test_split(100, seed=1)
+    assert len(tr) == 70 and len(te) == 15 and len(va) == 15
+    assert len(set(tr) | set(te) | set(va)) == 100
+
+
+def test_lru_cache():
+    c = LRUCache(capacity=2)
+    c.set("a", 1)
+    c.set("b", 2)
+    assert c.get("a") == 1  # refresh a
+    c.set("c", 3)  # evicts b
+    assert "b" not in c and "a" in c and "c" in c
+
+
+# ---------------------------------------------------------------- TCGA fixture
+
+N_SAMPLES = 24
+N_FEATS = 10
+N_PATCHES = 6
+PATCH_DIM = 16
+
+
+@pytest.fixture
+def tcga_root(tmp_path, rng):
+    root = tmp_path / "tcga"
+    (root / "omic").mkdir(parents=True)
+    patches = root / "wsi" / "brca_preprocessed_level2" / "patches"
+    features = root / "wsi" / "brca_preprocessed_level2" / "patch_features"
+    patches.mkdir(parents=True)
+    features.mkdir(parents=True)
+
+    slide_ids = [f"TCGA-XX-{i:04d}" for i in range(N_SAMPLES)]
+    for sid in slide_ids:
+        (patches / f"{sid}.h5").touch()
+        np.save(features / f"{sid}.npy",
+                rng.normal(size=(N_PATCHES, PATCH_DIM)).astype(np.float32))
+
+    df = pd.DataFrame(
+        rng.normal(size=(N_SAMPLES, N_FEATS)).astype(np.float32),
+        columns=[f"gene_{i}" for i in range(N_FEATS)],
+    )
+    df.loc[3, "gene_1"] = np.nan  # exercise imputation
+    df["site"] = "breast"
+    df["oncotree_code"] = "IDC"
+    df["case_id"] = [f"case_{i}" for i in range(N_SAMPLES)]
+    df["slide_id"] = [sid + ".svs" for sid in slide_ids]
+    df["train"] = 1
+    df["censorship"] = rng.integers(0, 2, size=N_SAMPLES)
+    df["survival_months"] = rng.uniform(5, 100, size=N_SAMPLES)
+    df.to_csv(root / "omic" / "tcga_brca_all_clean.csv.zip", compression="zip")
+    return root
+
+
+def _config(root, model="healnet", omic_attention=True):
+    return Box(
+        {
+            "tcga_path": str(root),
+            "model": model,
+            "omic_attention": omic_attention,
+            "survival.subset": "uncensored",
+        }
+    )
+
+
+def test_tcga_dataset_bimodal(tcga_root):
+    ds = TCGADataset("brca", _config(tcga_root), n_bins=4)
+    assert len(ds) == N_SAMPLES
+    [omic, slide], c, t, y = ds[0]
+    assert omic.shape == (1, N_FEATS)          # omic_attention layout
+    assert slide.shape == (PATCH_DIM, N_PATCHES)  # transposed (`loaders.py:394`)
+    assert np.isfinite(omic).all()             # NaN imputed
+    assert y in (0, 1, 2, 3)
+    # cache hit second time
+    ds[0]
+    assert len(ds._cache) >= 1
+
+
+def test_tcga_dataset_omic_only_and_layout(tcga_root):
+    ds = TCGADataset(
+        "brca", _config(tcga_root, omic_attention=False), sources=["omic"], n_bins=4
+    )
+    [omic], *_ = ds[1]
+    assert omic.shape == (N_FEATS, 1)
+
+
+def test_tcga_dataset_early_fusion_concat(tcga_root):
+    ds = TCGADataset("brca", _config(tcga_root, model="healnet_early"), n_bins=4)
+    [concat], *_ = ds[0]
+    assert concat.shape == (1, N_FEATS + N_PATCHES * PATCH_DIM)
+    ds_fcnn = TCGADataset("brca", _config(tcga_root, model="fcnn"), n_bins=4)
+    [flat], *_ = ds_fcnn[0]
+    assert flat.ndim == 1
+
+
+def test_tcga_iter_batches_and_trainer_format(tcga_root):
+    ds = TCGADataset("brca", _config(tcga_root), n_bins=4)
+    batches = list(ds.iter_batches(batch_size=8))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["tensors"][0].shape == (8, 1, N_FEATS)
+    assert b["tensors"][1].shape == (8, PATCH_DIM, N_PATCHES)
+    assert b["sample_mask"].shape == (8,)
+    data = ds.materialize()
+    assert data["tensors"][0].shape[0] == N_SAMPLES
+
+
+def test_trainer_consumes_streaming_tcga(tcga_root):
+    """SurvivalTrainer trains straight from the streaming TCGA source."""
+    from healnet_tpu.models import HealNetModule
+    from healnet_tpu.train import SurvivalTrainer
+
+    ds = TCGADataset("brca", _config(tcga_root), n_bins=4)
+    module = HealNetModule(
+        n_modalities=2,
+        channel_dims=(N_FEATS, N_PATCHES),
+        num_spatial_axes=(1, 1),
+        out_dims=4,
+        depth=1, l_c=4, l_d=8, x_heads=1, l_heads=1,
+        cross_dim_head=4, latent_dim_head=4, self_per_cross_attn=0,
+    )
+    trainer = SurvivalTrainer(module, batch_size=8, epochs=1, early_stopping=False, gc_compat=1)
+    res = trainer.fit(ds, ds, verbose=False)
+    assert np.isfinite(res["train_loss"])
+
+
+def test_device_prefetcher_order(tcga_root):
+    ds = TCGADataset("brca", _config(tcga_root), n_bins=4)
+    direct = [b["y_disc"] for b in ds.iter_batches(batch_size=8)]
+    prefetched = [
+        np.asarray(b["y_disc"])
+        for b in DevicePrefetcher(ds.iter_batches(batch_size=8), depth=2)
+    ]
+    assert len(direct) == len(prefetched)
+    for a, b in zip(direct, prefetched):
+        np.testing.assert_array_equal(a, b)
