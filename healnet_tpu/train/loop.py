@@ -115,7 +115,12 @@ class SurvivalTrainer:
         reg_topo: str = "healnet",
         sources: Optional[List[str]] = None,
         device_sharding=None,
+        aux_loss: bool = False,
+        n_bins: Optional[int] = None,
     ):
+        # aux_loss: MultiModN-style modules whose __call__(tensors, targets)
+        # returns (model_loss, logits); the model loss is added to the
+        # survival loss as in the reference train loop (`main.py:428-463`).
         assert loss_type in ("nll", "ce_survival", "cox")
         self.module = module
         self.loss_type = loss_type
@@ -136,6 +141,8 @@ class SurvivalTrainer:
         self.reg_topo = reg_topo
         self.sources = sources
         self.device_sharding = device_sharding
+        self.aux_loss = aux_loss
+        self.n_bins = n_bins
         self.params = None
         self.opt_state = None
         self._opt = None
@@ -179,26 +186,44 @@ class SurvivalTrainer:
             return True
         return False
 
+    def _forward(self, params, batch, deterministic, rng=None):
+        """Apply the module; returns (logits, model_loss) for aux-loss models."""
+        rngs = {"dropout": rng} if rng is not None else {}
+        if self.aux_loss:
+            n_bins = self.n_bins
+            assert n_bins is not None, "aux_loss models need n_bins"
+            targets = jax.nn.one_hot(batch["y_disc"], n_bins)
+            model_loss, logits = self.module.apply(
+                {"params": params},
+                batch["tensors"],
+                targets=targets,
+                presence=batch.get("presence"),
+                deterministic=deterministic,
+                rngs=rngs,
+            )
+            return logits, model_loss
+        logits = self.module.apply(
+            {"params": params},
+            batch["tensors"],
+            presence=batch.get("presence"),
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+        return logits, 0.0
+
     def _build_steps(self, total_steps: int):
         self._opt = make_optimizer(
             self.max_lr, total_steps, cycle_momentum=self.cycle_momentum
         )
-        module = self.module
         l1 = 0.0 if self._reg_skip() else self.l1
         gc = float(self.gc_compat)
 
         def train_step(params, opt_state, batch, rng):
             def loss_fn(p):
-                logits = module.apply(
-                    {"params": p},
-                    batch["tensors"],
-                    presence=batch.get("presence"),
-                    deterministic=False,
-                    rngs={"dropout": rng},
-                )
+                logits, model_loss = self._forward(p, batch, deterministic=False, rng=rng)
                 surv_loss, risk = self._surv_loss(logits, batch)
                 reg = l1 * l1_norm(p) if l1 > 0 else 0.0
-                total = surv_loss / gc + reg
+                total = surv_loss / gc + reg + model_loss
                 return total, (surv_loss, risk)
 
             (_, (surv_loss, risk)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -209,14 +234,9 @@ class SurvivalTrainer:
             return params, opt_state, surv_loss, risk
 
         def eval_step(params, batch):
-            logits = module.apply(
-                {"params": params},
-                batch["tensors"],
-                presence=batch.get("presence"),
-                deterministic=True,
-            )
+            logits, model_loss = self._forward(params, batch, deterministic=True)
             surv_loss, risk = self._surv_loss(logits, batch)
-            return surv_loss, risk, logits
+            return surv_loss + model_loss, risk, logits
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
