@@ -70,6 +70,28 @@ class LRUCache:
         return len(self._store)
 
 
+class DatasetView:
+    """Index-subset view over a dataset exposing the streaming batch API."""
+
+    def __init__(self, parent, indices: np.ndarray):
+        self.parent = parent
+        self.indices = np.asarray(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.parent[int(self.indices[i])]
+
+    def iter_batches(self, batch_size: int, shuffle: bool = False, rng=None, **kw):
+        return self.parent.iter_batches(
+            batch_size, indices=self.indices, shuffle=shuffle, rng=rng, **kw
+        )
+
+    def materialize(self):
+        return self.parent.materialize(self.indices)
+
+
 class TCGADataset(Dataset):
     """TCGA omics + WSI-patch survival dataset."""
 
@@ -266,6 +288,10 @@ class TCGADataset(Dataset):
             "event_time": np.asarray([s[2] for s in samples], np.float32),
             "y_disc": np.asarray([s[3] for s in samples], np.int32),
         }
+
+    def take(self, indices: np.ndarray) -> "DatasetView":
+        """Lightweight split view sharing this dataset's cache (fold splits)."""
+        return DatasetView(self, np.asarray(indices))
 
     # ---------------------------------------------------------------- info
     def get_info(self, full_detail: bool = False) -> Dict[str, Any]:

@@ -390,10 +390,16 @@ class SurvivalTrainer:
             times.append(batch["event_time"])
             masks.append(batch["sample_mask"])
         mask = np.concatenate(masks) > 0
-        c_index = concordance_index_censored(
-            (1 - np.concatenate(cens)[mask]).astype(bool),
-            np.concatenate(times)[mask],
-            np.concatenate(risks)[mask],
-            tied_tol=1e-8,
-        )[0]
+        try:
+            c_index = concordance_index_censored(
+                (1 - np.concatenate(cens)[mask]).astype(bool),
+                np.concatenate(times)[mask],
+                np.concatenate(risks)[mask],
+                tied_tol=1e-8,
+            )[0]
+        except ValueError as exc:
+            # tiny eval splits can be all-censored / pair-free; don't kill the
+            # fold (the reference would crash inside sksurv here)
+            print(f"c-index undefined for this split: {exc}")
+            c_index = float("nan")
         return float(np.mean(losses)), c_index

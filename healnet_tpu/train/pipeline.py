@@ -1,0 +1,272 @@
+"""Experiment pipeline: config validation, k-fold training, model factory.
+
+TPU-native counterpart of the reference `Pipeline`
+(`/root/reference/healnet/main.py:33-367`):
+
+- config whitelisting (`main.py:78-104`), dotted-key flattening, per-dataset
+  hyperparameter splicing (`main.py:653-654`);
+- k-fold loop with per-fold seeds (`main.py:124-141`), cross-fold mean/std
+  aggregation (`main.py:144-149`), missing-ablation aggregation
+  (`main.py:156-160`);
+- model factory with shape inference from the first batch (`main.py:261-367`)
+  covering healnet / healnet_early / fcnn / multimodn / mm_prognosis / mcat
+  (SNN, MILAttention by source count) plus the working motcat;
+- explainer artifacts: best-fold params + config + test indices saved
+  durably (`main.py:163-168`), via orbax + pickle;
+- logging through :class:`healnet_tpu.utils.Tracker` (wandb if present,
+  local JSONL otherwise).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from healnet_tpu.etl import TCGADataset, class_weights, train_val_test_split
+from healnet_tpu.models import HealNetModule
+from healnet_tpu.models.baselines import (
+    MCAT,
+    MILAttentionNet,
+    MLPEncoder,
+    MMPrognosis,
+    MOTCAT,
+    MultiModNModule,
+    ClassDecoder,
+    PatchEncoder,
+    RegularizedFCNN,
+    SNN,
+)
+from healnet_tpu.train.checkpoint import Checkpointer
+from healnet_tpu.train.loop import SurvivalTrainer, iterate_batches
+from healnet_tpu.utils import Box, Tracker, flatten_config, pickle_obj
+
+VALID_SOURCES = ["omic", "slides"]
+VALID_LOSSES = ["nll", "ce_survival", "cox"]
+VALID_DATASETS = ["blca", "brca", "kirp", "ucec", "hnsc", "paad", "luad", "lusc"]
+VALID_MODELS = [
+    "healnet", "fcnn", "healnet_early", "mcat", "mm_prognosis", "multimodn", "motcat",
+]
+VALID_CLASS_WEIGHTS = ["inverse", "inverse_root", "None"]
+
+
+class Pipeline:
+    """Main experimental pipeline for training/evaluating models."""
+
+    def __init__(self, config: Box, args=None, wandb_name: Optional[str] = None):
+        self.config = flatten_config(config)
+        self.dataset = self.config["dataset"]
+        self.args = args
+        self._check_config()
+        self.output_dims = int(self.config["model_params.output_dims"])
+        self.sources = list(self.config["sources"])
+        self.local_run_id = datetime.now().strftime("%d-%m-%Y_%H-%M-%S")
+
+        self.tracker = Tracker(
+            project="healnet_tpu",
+            name=wandb_name,
+            config=dict(self.config),
+            log_dir=self.config.get("log_path", "logs"),
+            use_wandb=bool(self.config.get("wandb", False)),
+        )
+        self.log_dir = self.tracker.log_dir if self.config.get("explainer") else None
+
+    def _check_config(self) -> None:
+        """Whitelist validation (`main.py:78-104`)."""
+        assert all(s in VALID_SOURCES for s in self.config["sources"]), (
+            f"Invalid source specified. Valid sources are {VALID_SOURCES}"
+        )
+        assert self.config["survival.loss"] in VALID_LOSSES, (
+            f"Invalid survival loss specified. Valid losses are {VALID_LOSSES}"
+        )
+        assert self.config["dataset"] in VALID_DATASETS, (
+            f"Invalid dataset specified. Valid datasets are {VALID_DATASETS}"
+        )
+        assert self.config["model"] in VALID_MODELS, (
+            f"Invalid model specified. Valid models are {VALID_MODELS}"
+        )
+        assert str(self.config["model_params.class_weights"]) in VALID_CLASS_WEIGHTS, (
+            f"Invalid class weight specified. Valid weights are {VALID_CLASS_WEIGHTS}"
+        )
+
+    # -------------------------------------------------------------- running
+    def main(self, sweep_overrides: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        if sweep_overrides:
+            for key, value in sweep_overrides.items():
+                if key in self.config:
+                    self.config[key] = value
+
+        fold_metrics: Dict[str, List[float]] = {
+            "train_c_index": [], "val_c_index": [], "test_c_index": [],
+        }
+        missing_perfs, fold_params, test_indices = [], [], []
+
+        for fold in range(1, int(self.config["n_folds"]) + 1):
+            print(f"*****FOLD {fold}*****")
+            np.random.seed(fold)
+
+            train_view, val_view, test_view, cw = self.load_data(fold=fold)
+            test_indices.append(np.asarray(test_view.indices))
+            trainer = self.make_trainer(train_view, fold=fold, cw=cw)
+            res = trainer.fit(
+                train_view, val_view, test_view, fold=fold,
+                missing_ablation=bool(self.config.get("missing_ablation", False)),
+            )
+            for key in fold_metrics:
+                fold_metrics[key].append(res[key])
+            if res.get("missing_performance") is not None:
+                missing_perfs.append(res["missing_performance"])
+            fold_params.append(res["params"])
+
+        summary = {}
+        for key, values in fold_metrics.items():
+            # nanmean: tiny all-censored eval splits yield undefined c-index
+            summary[f"mean_{key}"] = float(np.nanmean(values))
+            summary[f"std_{key}"] = float(np.nanstd(values))
+        self.tracker.log(summary)
+
+        test_c = np.asarray(fold_metrics["test_c_index"], dtype=float)
+        best_fold = int(np.nanargmax(test_c)) if np.isfinite(test_c).any() else 0
+        if missing_perfs:
+            m50, momic, mwsi = np.mean(missing_perfs, axis=0)
+            self.tracker.log(
+                {
+                    "missing_50_c_index": float(m50),
+                    "missing_omic_c_index": float(momic),
+                    "missing_wsi_c_index": float(mwsi),
+                }
+            )
+
+        if self.config.get("explainer"):
+            ckpt = Checkpointer(Path(self.log_dir) / "checkpoints")
+            ckpt.save_best(fold_params[best_fold], metrics=summary)
+            pickle_obj(dict(self.config), Path(self.log_dir) / "config.pkl")
+            pickle_obj(test_indices[best_fold], Path(self.log_dir) / "test_data_indices.pkl")
+
+        self.tracker.finish()
+        summary["best_fold"] = best_fold
+        return summary
+
+    # ----------------------------------------------------------------- data
+    def load_data(self, fold: int = 1):
+        data = TCGADataset(
+            self.config["dataset"],
+            self.config,
+            level=int(self.config["data.wsi_level"]),
+            survival_analysis=True,
+            sources=self.sources,
+            n_bins=self.output_dims,
+            log_dir=self.log_dir,
+        )
+        train_idx, test_idx, val_idx = train_val_test_split(len(data), seed=fold)
+        print(
+            f"Train samples: {len(train_idx)}, Val samples: {len(val_idx)}, "
+            f"Test samples: {len(test_idx)}"
+        )
+        scheme = str(self.config["model_params.class_weights"])
+        cw = class_weights(data.y_disc[train_idx], scheme)
+        return data.take(train_idx), data.take(val_idx), data.take(test_idx), cw
+
+    # ---------------------------------------------------------------- model
+    def make_model(self, example_batch: Dict[str, Any]):
+        """Instantiate the configured model, shape-inferred from a batch."""
+        feat = example_batch["tensors"]
+        model_name = self.config["model"]
+        mp = lambda key: self.config[f"model_params.{key}"]
+
+        if model_name in ("healnet", "healnet_early"):
+            if model_name == "healnet" and len(self.sources) == 2:
+                input_channels = (feat[0].shape[2], feat[1].shape[2])
+                input_axes, modalities = (1, 1), 2
+            else:  # single source, or early fusion concat (one modality)
+                input_channels = (feat[0].shape[2],)
+                input_axes, modalities = (1,), 1
+            return HealNetModule(
+                n_modalities=modalities,
+                channel_dims=input_channels,
+                num_spatial_axes=input_axes,
+                out_dims=self.output_dims,
+                num_freq_bands=int(mp("num_freq_bands")),
+                depth=int(mp("depth")),
+                max_freq=float(mp("max_freq")),
+                l_c=int(mp("num_latents")),
+                l_d=int(mp("latent_dim")),
+                cross_dim_head=int(mp("cross_dim_head")),
+                latent_dim_head=int(mp("latent_dim_head")),
+                x_heads=int(mp("cross_heads")),
+                l_heads=int(mp("latent_heads")),
+                attn_dropout=float(mp("attn_dropout")),
+                ff_dropout=float(mp("ff_dropout")),
+                weight_tie_layers=bool(mp("weight_tie_layers")),
+                fourier_encode_data=bool(mp("fourier_encode_data")),
+                self_per_cross_attn=int(mp("self_per_cross_attn")),
+                final_classifier_head=True,
+                snn=bool(mp("snn")),
+                attention_impl=str(self.config.get("attention_impl", "auto")),
+            )
+
+        if model_name == "fcnn":
+            return RegularizedFCNN(output_dim=self.output_dims)
+
+        if model_name == "multimodn":
+            state_size = 2000
+            tab_features = int(np.prod(feat[0].shape[1:]))
+            patch_dims = feat[1].shape[2]
+            return MultiModNModule(
+                state_size=state_size,
+                encoders=[
+                    MLPEncoder(
+                        state_size=state_size,
+                        hidden_layers=(1024, 256, 128, 64),
+                    ),
+                    PatchEncoder(
+                        state_size=state_size, hidden_layers=(512, 256, 128, 64)
+                    ),
+                ],
+                decoders=[
+                    ClassDecoder(n_classes=self.output_dims, activation=jax.nn.sigmoid)
+                ],
+            )
+
+        if model_name == "mm_prognosis":
+            return MMPrognosis(output_dims=self.output_dims)
+
+        if model_name == "motcat":
+            return MOTCAT(n_classes=self.output_dims)
+
+        if model_name == "mcat":
+            if len(self.sources) == 2:
+                return MCAT(n_classes=self.output_dims)
+            if self.sources[0] == "omic":
+                return SNN(n_classes=self.output_dims)
+            return MILAttentionNet(n_classes=self.output_dims)
+
+        raise ValueError(f"unknown model {model_name}")
+
+    def make_trainer(self, train_view, fold: int, cw) -> SurvivalTrainer:
+        example_batch = next(
+            iterate_batches(train_view, int(self.config["train_loop.batch_size"]))
+        )
+        model = self.make_model(example_batch)
+        model_name = self.config["model"]
+        return SurvivalTrainer(
+            model,
+            loss_type=self.config["survival.loss"],
+            l1=float(self.config["model_params.l1"]),
+            class_weights=cw,
+            batch_size=int(self.config["train_loop.batch_size"]),
+            epochs=int(self.config["train_loop.epochs"]),
+            max_lr=float(self.config["optimizer.max_lr"]),
+            patience=int(self.config["train_loop.patience"]),
+            early_stopping=bool(self.config["train_loop.early_stopping"]),
+            gc_compat=int(self.config.get("train_loop.gc_compat", 16)),
+            seed=fold,
+            tracker=self.tracker,
+            reg_topo=model_name,
+            sources=self.sources,
+            aux_loss=model_name == "multimodn",
+            n_bins=self.output_dims,
+        )

@@ -1,0 +1,175 @@
+"""Pipeline + sweep tests on a synthetic TCGA tree."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from healnet_tpu.train.pipeline import Pipeline
+from healnet_tpu.train.sweep import Sweep, SweepSpec
+from healnet_tpu.utils import Box
+
+N_SAMPLES = 30
+N_FEATS = 12
+N_PATCHES = 5
+PATCH_DIM = 8
+
+
+@pytest.fixture
+def tcga_tree(tmp_path, rng):
+    root = tmp_path / "tcga"
+    (root / "omic").mkdir(parents=True)
+    patches = root / "wsi" / "brca_preprocessed_level2" / "patches"
+    features = root / "wsi" / "brca_preprocessed_level2" / "patch_features"
+    patches.mkdir(parents=True)
+    features.mkdir(parents=True)
+    sids = [f"TCGA-{i:04d}" for i in range(N_SAMPLES)]
+    for sid in sids:
+        (patches / f"{sid}.h5").touch()
+        np.save(features / f"{sid}.npy",
+                rng.normal(size=(N_PATCHES, PATCH_DIM)).astype(np.float32))
+    df = pd.DataFrame(
+        rng.normal(size=(N_SAMPLES, N_FEATS)).astype(np.float32),
+        columns=[f"g{i}" for i in range(N_FEATS)],
+    )
+    df["site"] = "breast"
+    df["oncotree_code"] = "IDC"
+    df["case_id"] = sids
+    df["slide_id"] = [s + ".svs" for s in sids]
+    df["train"] = 1
+    df["censorship"] = rng.integers(0, 2, N_SAMPLES)
+    df["survival_months"] = rng.uniform(5, 100, N_SAMPLES)
+    df.to_csv(root / "omic" / "tcga_brca_all_clean.csv.zip", compression="zip")
+    return root
+
+
+def _config(root, tmp_path, model="healnet", **overrides):
+    cfg = Box(
+        {
+            "tcga_path": str(root),
+            "log_path": str(tmp_path / "logs"),
+            "dataset": "brca",
+            "model": model,
+            "explainer": False,
+            "missing_ablation": False,
+            "omic_attention": True,
+            "n_folds": 1,
+            "wandb": False,
+            "attention_impl": "xla",
+            "data": {"wsi_level": 2},
+            "sources": ["omic", "slides"],
+            "survival": {"loss": "nll", "subset": "uncensored"},
+            "train_loop": {
+                "batch_size": 8,
+                "epochs": 2,
+                "early_stopping": False,
+                "patience": 5,
+                "gc_compat": 1,
+            },
+            "optimizer": {"max_lr": 0.005, "lr": 0.005},
+            "model_params": {
+                "output_dims": 4,
+                "class_weights": "inverse",
+                "l1": 1e-6,
+                "num_freq_bands": 2,
+                "depth": 1,
+                "max_freq": 2.0,
+                "num_latents": 4,
+                "latent_dim": 8,
+                "cross_dim_head": 4,
+                "latent_dim_head": 4,
+                "cross_heads": 1,
+                "latent_heads": 1,
+                "attn_dropout": 0.0,
+                "ff_dropout": 0.0,
+                "fourier_encode_data": True,
+                "self_per_cross_attn": 0,
+                "weight_tie_layers": False,
+                "snn": True,
+            },
+        }
+    )
+    cfg.merge_update(overrides)
+    return cfg
+
+
+def test_pipeline_healnet_end_to_end(tcga_tree, tmp_path):
+    pipeline = Pipeline(config=_config(tcga_tree, tmp_path))
+    summary = pipeline.main()
+    assert np.isfinite(summary["mean_test_c_index"])
+    assert "best_fold" in summary
+    # local tracker wrote metrics
+    assert (pipeline.tracker.log_dir / "metrics.jsonl").exists()
+    assert (pipeline.tracker.log_dir / "summary.json").exists()
+
+
+def test_pipeline_explainer_artifacts(tcga_tree, tmp_path):
+    cfg = _config(tcga_tree, tmp_path, explainer=True)
+    pipeline = Pipeline(config=cfg)
+    pipeline.main()
+    log_dir = pipeline.log_dir
+    assert (log_dir / "config.pkl").exists()
+    assert (log_dir / "test_data_indices.pkl").exists()
+    assert (log_dir / "checkpoints" / "best").exists()
+
+
+def test_pipeline_invalid_config(tcga_tree, tmp_path):
+    with pytest.raises(AssertionError):
+        Pipeline(config=_config(tcga_tree, tmp_path, model="resnet"))
+    with pytest.raises(AssertionError):
+        Pipeline(config=_config(tcga_tree, tmp_path, dataset="mnist"))
+    with pytest.raises(AssertionError):
+        Pipeline(config=_config(tcga_tree, tmp_path, survival={"loss": "mse"}))
+
+
+def test_pipeline_missing_ablation(tcga_tree, tmp_path):
+    cfg = _config(tcga_tree, tmp_path, missing_ablation=True)
+    summary = Pipeline(config=cfg).main()
+    assert np.isfinite(summary["mean_test_c_index"])
+
+
+@pytest.mark.parametrize("model", ["mcat", "fcnn", "healnet_early"])
+def test_pipeline_baseline_models(tcga_tree, tmp_path, model):
+    summary = Pipeline(config=_config(tcga_tree, tmp_path, model=model)).main()
+    assert np.isfinite(summary["mean_test_c_index"])
+
+
+# ----------------------------------------------------------------- sweeps
+
+def test_sweep_grid_enumerates():
+    spec = {
+        "method": "grid",
+        "metric": {"name": "score", "goal": "maximize"},
+        "parameters": {"a": {"values": [1, 2]}, "b": {"values": [10, 20, 30]}},
+    }
+    sweep = Sweep(spec)
+    seen = []
+    best = sweep.run(lambda p: {"score": p["a"] * p["b"]} if seen.append(p) is None else None)
+    assert len(seen) == 6
+    assert best["params"] == {"a": 2, "b": 30}
+
+
+def test_sweep_random_and_bayes_respect_bounds():
+    spec = {
+        "method": "bayes",
+        "metric": {"name": "score", "goal": "minimize"},
+        "parameters": {
+            "x": {"distribution": "uniform", "min": -2.0, "max": 2.0},
+            "k": {"values": ["a", "b"]},
+        },
+    }
+    sweep = Sweep(spec, seed=0)
+    best = sweep.run(lambda p: {"score": (p["x"] - 0.7) ** 2}, n_trials=30)
+    assert -2.0 <= best["params"]["x"] <= 2.0
+    assert abs(best["params"]["x"] - 0.7) < 0.5  # converges near the optimum
+
+
+def test_sweep_csv_export(tmp_path):
+    spec = {
+        "method": "grid",
+        "metric": {"name": "score"},
+        "parameters": {"a": {"values": [1, 2]}},
+    }
+    sweep = Sweep(spec)
+    sweep.run(lambda p: {"score": p["a"]}, csv_path=tmp_path / "sweep.csv")
+    df = pd.read_csv(tmp_path / "sweep.csv")
+    assert len(df) == 2 and "param.a" in df.columns
