@@ -1,0 +1,315 @@
+"""Explainability: omics feature rankings and WSI patch-attention heatmaps.
+
+Counterpart of the reference Explainer
+(`/root/reference/healnet/models/explainer.py:22-475`): reload a finished
+run's artifacts (config, test indices, best parameters — saved by the
+Pipeline when ``explainer: true``), rebuild the dataset and model, run
+forwards on high-/low-risk test patients, and turn the stored attention maps
+into:
+
+- a top-k omics feature bar chart (layer chosen by max attention std,
+  `explainer.py:147-199`) — requires the ``omic_attention: false`` token
+  layout where each feature is a context token;
+- a WSI patch-attention heatmap + top-patch highlights over the slide image
+  (`explainer.py:201-349`). When the raw ``.svs`` slides / libopenslide are
+  unavailable, the heatmap is rendered in patch-coordinate space from the
+  CLAM-schema h5 coords instead, and raw attention/heatmap arrays are always
+  saved as ``.npy`` for downstream tooling.
+
+Model restore uses the orbax checkpoint written by the Pipeline
+(`healnet_tpu/train/pipeline.py`), replacing the reference's
+``torch.load(best_model.pt)`` (`explainer.py:358-402`).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from healnet_tpu.etl import TCGADataset
+from healnet_tpu.models.healnet import HealNet
+from healnet_tpu.train.checkpoint import Checkpointer
+from healnet_tpu.utils import Box, unpickle
+
+
+class Explainer:
+    def __init__(self, log_dir, show: bool = False):
+        self.log_dir = Path(log_dir)
+        self.show = show
+        self.expl_dir = Path("explanations") / self.log_dir.name
+        self.expl_dir.mkdir(parents=True, exist_ok=True)
+
+        self.config = Box(unpickle(self.log_dir / "config.pkl"))
+        self.test_data_indices = np.asarray(
+            unpickle(self.log_dir / "test_data_indices.pkl")
+        )
+        self.dataset = self.config["dataset"]
+        self.level = int(self.config["data.wsi_level"])
+        self.prep_path = (
+            Path(self.config["tcga_path"])
+            / "wsi"
+            / f"{self.dataset}_preprocessed_level{self.level}"
+        )
+        self.raw_path = Path(self.config["tcga_path"]) / "wsi" / self.dataset
+
+        print("Initializing dataset...")
+        self.data = TCGADataset(
+            dataset=self.dataset,
+            config=self.config,
+            level=self.level,
+            sources=list(self.config["sources"]),
+            n_bins=int(self.config["model_params.output_dims"]),
+            log_dir=None,
+        )
+        self.omic_df = self.data.omic_df
+        print("Loading model...")
+        self.model = self.load_model()
+
+    # ------------------------------------------------------------- restore
+    def load_model(self) -> HealNet:
+        sample, *_ = self.data[0], None
+        feat = self.data[0][0]
+        num_sources = len(self.config["sources"])
+        if num_sources == 1:
+            channels = [feat[0].shape[-1]]
+            axes, modalities = [1], 1
+        else:
+            channels = [feat[0].shape[-1], feat[1].shape[-1]]
+            axes, modalities = [1, 1], 2
+
+        mp = lambda key: self.config[f"model_params.{key}"]
+        model = HealNet(
+            n_modalities=modalities,
+            channel_dims=channels,
+            num_spatial_axes=axes,
+            out_dims=int(mp("output_dims")),
+            num_freq_bands=int(mp("num_freq_bands")),
+            depth=int(mp("depth")),
+            max_freq=float(mp("max_freq")),
+            l_c=int(mp("num_latents")),
+            l_d=int(mp("latent_dim")),
+            cross_dim_head=int(mp("cross_dim_head")),
+            latent_dim_head=int(mp("latent_dim_head")),
+            x_heads=int(mp("cross_heads")),
+            l_heads=int(mp("latent_heads")),
+            attn_dropout=float(mp("attn_dropout")),
+            ff_dropout=float(mp("ff_dropout")),
+            weight_tie_layers=bool(mp("weight_tie_layers")),
+            fourier_encode_data=bool(mp("fourier_encode_data")),
+            self_per_cross_attn=int(mp("self_per_cross_attn")),
+            snn=bool(mp("snn")),
+        )
+        params = Checkpointer(self.log_dir / "checkpoints").restore_best()
+        import jax
+
+        model.params = jax.tree_util.tree_map(np.asarray, params)
+        return model
+
+    # --------------------------------------------------------------- select
+    def get_patients(self, n: int = 5, risk: str = "high"):
+        """Highest/lowest-risk test patients by (y_disc, survival_months)."""
+        assert risk in ("high", "low"), "Invalid risk type"
+        filtered = self.omic_df.iloc[self.test_data_indices]
+        ascending = risk == "high"
+        filtered = filtered.sort_values(
+            by=["y_disc", "survival_months"], ascending=ascending
+        )
+        return filtered.iloc[:n]["slide_id"].apply(lambda x: x[:-4])
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        n_high: int = 3,
+        n_low: int = 0,
+        downsample: Optional[float] = None,
+        run_omic: bool = True,
+        run_slides: bool = True,
+        heatmap: bool = True,
+        highlight_patches: bool = True,
+        save_patches: bool = True,
+    ) -> List[Dict]:
+        results = []
+        high = self.get_patients(risk="high", n=n_high)
+        low = self.get_patients(risk="low", n=n_low)
+        for label, series in (("high_risk", high), ("low_risk", low)):
+            for rank, (idx, slide_id) in enumerate(series.items()):
+                self.save_name = f"{label}_{rank}"
+                results.append(
+                    self.run_sample_explanation(
+                        idx, slide_id, run_omic=run_omic, run_slides=run_slides,
+                        heatmap=heatmap, highlight_patches=highlight_patches,
+                        downsample=downsample,
+                    )
+                )
+        return results
+
+    def run_sample_explanation(
+        self,
+        idx: int,
+        slide_id: str,
+        run_omic: bool = True,
+        run_slides: bool = True,
+        heatmap: bool = True,
+        highlight_patches: bool = True,
+        downsample: Optional[float] = None,
+    ) -> Dict:
+        pos = int(self.omic_df.index.get_loc(idx))
+        tensors, _, _, _ = self.data[pos]
+        batched = [np.asarray(t)[None] for t in tensors]
+        logits = np.asarray(self.model(batched))
+        weights = self.model.get_attention_weights()
+
+        n_omic_tokens = batched[0].shape[1]
+        result: Dict = {"slide_id": slide_id, "logits": logits}
+        omic_attn = [w for w in weights if w.shape[2] == n_omic_tokens]
+        slide_attn = []
+        if len(batched) > 1:
+            n_patch_tokens = batched[1].shape[1]
+            slide_attn = [w for w in weights if w.shape[2] == n_patch_tokens]
+
+        if run_omic and omic_attn and n_omic_tokens == len(self.data.features.columns):
+            result["omic_ranking"] = self.plot_omic_attn(omic_attn)
+        if run_slides and slide_attn:
+            coords = self.load_patch_coords(slide_id)
+            result["heatmap"] = self.plot_slide_attn(
+                slide_id, slide_attn, coords, heatmap=heatmap,
+                highlight_patches=highlight_patches, downsample=downsample,
+            )
+        return result
+
+    # ------------------------------------------------------------ omic plot
+    def plot_omic_attn(self, omic_attn: List[np.ndarray], k: int = 20):
+        """Top-k feature bar chart from the max-std layer (`explainer.py:147-199`)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import pandas as pd
+
+        layer = int(np.argmax([np.std(w) for w in omic_attn]))
+        scores = omic_attn[layer].mean(axis=(0, 1))  # mean over heads+latents
+        feats = self.data.features.columns.tolist()
+        plot_df = (
+            pd.DataFrame({"feature": feats, "attention": scores})
+            .sort_values("attention", ascending=False)
+        )
+        plot_df = plot_df[~plot_df["feature"].str.contains("age|is_female")]
+        lo, hi = plot_df["attention"].min(), plot_df["attention"].max()
+        plot_df = plot_df.iloc[:k]
+        plot_df["attention_scaled"] = (plot_df["attention"] - lo) / max(hi - lo, 1e-12) / k
+
+        fig, ax = plt.subplots(figsize=(6, 10))
+        ax.barh(plot_df["feature"][::-1], plot_df["attention_scaled"][::-1])
+        ax.set_xlabel("Attention Scaled")
+        ax.set_ylabel("Feature")
+        fig.tight_layout()
+        fig.savefig(self.expl_dir / f"{self.save_name}_omic_attn.png")
+        plt.close(fig)
+        return plot_df
+
+    # ----------------------------------------------------------- slide plot
+    def load_patch_coords(self, slide_id: str) -> Optional[np.ndarray]:
+        import h5py
+
+        path = self.prep_path / "patches" / f"{slide_id}.h5"
+        if not path.exists():
+            return None
+        with h5py.File(path, "r") as f:
+            if "coords" in f:
+                return f["coords"][:]
+        return None
+
+    def plot_slide_attn(
+        self,
+        slide_id: str,
+        slide_attn: List[np.ndarray],
+        coords: Optional[np.ndarray],
+        patch_size: Tuple[int, int] = (256, 256),
+        heatmap: bool = True,
+        highlight_patches: bool = True,
+        downsample: Optional[float] = None,
+    ) -> Optional[np.ndarray]:
+        """Attention heatmap over the slide (or coords-space fallback)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        # mean across layers and heads (`explainer.py:207-212`)
+        attn = np.stack(slide_attn).mean(axis=(0, 1, 2)).squeeze()
+        np.save(self.expl_dir / f"{self.save_name}_attention.npy", attn)
+        if coords is None or len(coords) == 0:
+            print(f"No patch coords for {slide_id}; saved raw attention only.")
+            return None
+        attn = attn[: len(coords)]
+        scaled = (attn - attn.min()) / max(attn.max() - attn.min(), 1e-12)
+
+        slide_img, scale_factor = self._read_slide_image(slide_id)
+        if slide_img is not None:
+            canvas_h, canvas_w = slide_img.shape[:2]
+            xs = (coords[:, 0] / scale_factor).astype(int)
+            ys = (coords[:, 1] / scale_factor).astype(int)
+            ph = pw = int(patch_size[0] / scale_factor)
+        else:  # coords-space canvas fallback
+            cell = 16
+            xs = ((coords[:, 0] - coords[:, 0].min()) // patch_size[0]).astype(int) * cell
+            ys = ((coords[:, 1] - coords[:, 1].min()) // patch_size[1]).astype(int) * cell
+            canvas_w, canvas_h = xs.max() + cell, ys.max() + cell
+            ph = pw = cell
+
+        heat = np.zeros((canvas_h, canvas_w), np.float32)
+        for x, y, a in zip(xs, ys, scaled):
+            heat[y : y + ph, x : x + pw] = a
+        np.save(self.expl_dir / f"{self.save_name}_heatmap.npy", heat)
+        np.save(self.expl_dir / f"{self.save_name}_mask.npy", heat <= 0.0)
+
+        if heatmap:
+            fig, ax = plt.subplots(figsize=(10, 10))
+            if slide_img is not None:
+                ax.imshow(slide_img)
+                ax.imshow(heat, cmap="Blues", alpha=0.7)
+            else:
+                im = ax.imshow(heat, cmap="Blues")
+                fig.colorbar(im, ax=ax, shrink=0.5, label="Attention")
+            ax.axis("off")
+            fig.savefig(self.expl_dir / f"{self.save_name}_heatmap.png", dpi=150)
+            plt.close(fig)
+        if highlight_patches and slide_img is not None:
+            import matplotlib.patches as patches
+
+            top = np.argsort(scaled)[::-1][:5]
+            fig, ax = plt.subplots(figsize=(10, 10))
+            ax.imshow(slide_img)
+            for i in top:
+                ax.add_patch(
+                    patches.Rectangle(
+                        (xs[i], ys[i]), pw, ph, linewidth=2,
+                        edgecolor="lime", facecolor="none",
+                    )
+                )
+            ax.axis("off")
+            fig.savefig(self.expl_dir / f"{self.save_name}_patch_highlights.png", dpi=150)
+            plt.close(fig)
+        return heat
+
+    def _read_slide_image(self, slide_id: str):
+        """(slide RGB at self.level, level0->level scale) or (None, 1)."""
+        try:
+            from healnet_tpu.etl.slides import OpenSlide, openslide_available
+
+            if not openslide_available():
+                return None, 1.0
+            path = self.raw_path / f"{slide_id}.svs"
+            if not path.exists():
+                return None, 1.0
+            slide = OpenSlide(path)
+            level = min(self.level, slide.level_count - 1)
+            size = slide.level_dimensions[level]
+            img = slide.read_region((0, 0), level, size)[:, :, :3]
+            scale = slide.dimensions[0] / size[0]
+            return img, scale
+        except Exception as exc:  # pragma: no cover
+            print(f"slide render unavailable ({exc}); using coords-space fallback")
+            return None, 1.0

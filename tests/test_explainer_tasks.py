@@ -1,0 +1,141 @@
+"""Explainer + data-ops preprocessing tests on synthetic artifacts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from healnet_tpu.train.pipeline import Pipeline
+from healnet_tpu.utils import Box
+
+N_SAMPLES = 24
+N_FEATS = 10
+N_PATCHES = 6
+PATCH_DIM = 8
+
+
+@pytest.fixture
+def run_artifacts(tmp_path, rng):
+    """Synthetic TCGA tree + a finished explainer-enabled pipeline run."""
+    root = tmp_path / "tcga"
+    (root / "omic").mkdir(parents=True)
+    patches = root / "wsi" / "brca_preprocessed_level2" / "patches"
+    features = root / "wsi" / "brca_preprocessed_level2" / "patch_features"
+    patches.mkdir(parents=True)
+    features.mkdir(parents=True)
+    import h5py
+
+    sids = [f"TCGA-{i:04d}" for i in range(N_SAMPLES)]
+    for sid in sids:
+        with h5py.File(patches / f"{sid}.h5", "w") as f:
+            coords = np.stack(
+                [np.arange(N_PATCHES) * 256, np.zeros(N_PATCHES, np.int64)], axis=1
+            )
+            f.create_dataset("coords", data=coords)
+        np.save(features / f"{sid}.npy",
+                rng.normal(size=(N_PATCHES, PATCH_DIM)).astype(np.float32))
+    df = pd.DataFrame(
+        rng.normal(size=(N_SAMPLES, N_FEATS)).astype(np.float32),
+        columns=[f"g{i}" for i in range(N_FEATS)],
+    )
+    df["site"] = "b"
+    df["oncotree_code"] = "x"
+    df["case_id"] = sids
+    df["slide_id"] = [s + ".svs" for s in sids]
+    df["train"] = 1
+    df["censorship"] = rng.integers(0, 2, N_SAMPLES)
+    df["survival_months"] = rng.uniform(5, 100, N_SAMPLES)
+    df.to_csv(root / "omic" / "tcga_brca_all_clean.csv.zip", compression="zip")
+
+    # omic_attention=False -> features are context tokens (explainable layout)
+    config = Box(
+        {
+            "tcga_path": str(root),
+            "log_path": str(tmp_path / "logs"),
+            "dataset": "brca",
+            "model": "healnet",
+            "explainer": True,
+            "missing_ablation": False,
+            "omic_attention": False,
+            "n_folds": 1,
+            "wandb": False,
+            "attention_impl": "xla",
+            "data": {"wsi_level": 2},
+            "sources": ["omic", "slides"],
+            "survival": {"loss": "nll", "subset": "uncensored"},
+            "train_loop": {
+                "batch_size": 8, "epochs": 1, "early_stopping": False,
+                "patience": 5, "gc_compat": 1,
+            },
+            "optimizer": {"max_lr": 0.005, "lr": 0.005},
+            "model_params": {
+                "output_dims": 4, "class_weights": "None", "l1": 0.0,
+                "num_freq_bands": 2, "depth": 1, "max_freq": 2.0,
+                "num_latents": 4, "latent_dim": 8, "cross_dim_head": 4,
+                "latent_dim_head": 4, "cross_heads": 1, "latent_heads": 1,
+                "attn_dropout": 0.0, "ff_dropout": 0.0,
+                "fourier_encode_data": True, "self_per_cross_attn": 0,
+                "weight_tie_layers": False, "snn": True,
+            },
+        }
+    )
+    pipeline = Pipeline(config=config)
+    pipeline.main()
+    return pipeline.log_dir
+
+
+def test_explainer_end_to_end(run_artifacts, monkeypatch, tmp_path):
+    from healnet_tpu.models.explainer import Explainer
+
+    monkeypatch.chdir(tmp_path)  # explanations/ goes under tmp
+    explainer = Explainer(run_artifacts)
+    results = explainer.run(n_high=2, n_low=1, run_omic=True, run_slides=True)
+    assert len(results) == 3
+    r = results[0]
+    assert r["logits"].shape == (1, 4)
+    # omic ranking produced (feature-token layout) with real feature names
+    assert "omic_ranking" in r
+    assert r["omic_ranking"]["feature"].iloc[0].startswith("g")
+    # coords-space heatmap rendered + arrays saved
+    assert "heatmap" in r and r["heatmap"] is not None
+    out = list(explainer.expl_dir.glob("high_risk_0_*"))
+    names = {p.name.split("high_risk_0_")[1] for p in out}
+    assert {"omic_attn.png", "heatmap.png", "heatmap.npy", "attention.npy", "mask.npy"} <= names
+
+
+def test_explainer_patient_selection(run_artifacts, monkeypatch, tmp_path):
+    from healnet_tpu.models.explainer import Explainer
+
+    monkeypatch.chdir(tmp_path)
+    explainer = Explainer(run_artifacts)
+    high = explainer.get_patients(n=3, risk="high")
+    low = explainer.get_patients(n=3, risk="low")
+    # high-risk = lowest survival bins first; disjoint orderings
+    assert len(high) == 3 and len(low) == 3
+    df = explainer.omic_df
+    high_bins = df[df["slide_id"].str.startswith(high.iloc[0])]["y_disc"]
+    low_bins = df[df["slide_id"].str.startswith(low.iloc[0])]["y_disc"]
+    assert high_bins.iloc[0] <= low_bins.iloc[0]
+
+
+def test_tissue_segmentation_and_patching(rng):
+    """Native patcher: tissue regions yield coords, background yields none."""
+    from healnet_tpu.cli.tasks import segment_tissue
+
+    thumb = np.full((128, 128, 3), 250, np.uint8)        # white background
+    thumb[30:90, 40:100] = [160, 60, 160]                 # stained tissue blob
+    mask = segment_tissue(thumb)
+    assert mask[50, 60] and not mask[5, 5]
+    assert 0.1 < mask.mean() < 0.6
+
+
+def test_resnet50_feature_extractor_shapes(rng):
+    from healnet_tpu.ops.resnet import PatchFeatureExtractor
+
+    extractor = PatchFeatureExtractor(batch_size=4)
+    patches = (rng.uniform(0, 255, size=(6, 224, 224, 3))).astype(np.uint8)
+    feats = extractor(patches)
+    assert feats.shape == (6, 2048)
+    assert np.isfinite(feats).all()
+    # deterministic across calls
+    feats2 = extractor(patches)
+    np.testing.assert_allclose(feats, feats2, rtol=1e-6)
