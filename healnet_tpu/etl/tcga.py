@@ -107,6 +107,7 @@ class TCGADataset(Dataset):
         sources: Sequence[str] = ("omic", "slides"),
         log_dir=None,
         cache_capacity: int = 256,
+        native_cache_mb: Optional[int] = 2048,
     ):
         valid_sources = ("omic", "slides")
         assert all(s in valid_sources for s in sources), (
@@ -157,6 +158,17 @@ class TCGADataset(Dataset):
         self.survival_months = self.omic_df["survival_months"].values.astype(np.float32)
         self.y_disc = self.omic_df["y_disc"].values.astype(np.int32)
         self._cache = LRUCache(cache_capacity)
+        # native C++ cache for .npy feature files: byte-bounded LRU with a
+        # background prefetch thread pool (cpp/healnet_runtime.cc)
+        self._native = None
+        if native_cache_mb:
+            try:
+                from healnet_tpu.runtime import NativeFeatureCache, native_available
+
+                if native_available():
+                    self._native = NativeFeatureCache(capacity_mb=native_cache_mb)
+            except Exception:
+                self._native = None
 
     # ----------------------------------------------------------------- omic
     def load_omic(self, eps: float = 1e-6) -> pd.DataFrame:
@@ -190,12 +202,18 @@ class TCGADataset(Dataset):
         return df
 
     # --------------------------------------------------------------- slides
+    def _npy_path(self, slide_id: str) -> Path:
+        return self.prep_path / "patch_features" / f"{slide_id}.npy"
+
     def load_patch_features(self, slide_id: str) -> np.ndarray:
         """Per-slide patch features, transposed to (feat_dim, n_patches)."""
         base = self.prep_path / "patch_features"
         npy = base / f"{slide_id}.npy"
         if npy.exists():
-            feats = np.load(npy)
+            if self._native is not None:
+                feats = self._native.load(npy)
+            else:
+                feats = np.load(npy)
         else:
             import torch  # torch-cpu: only for decoding reference .pt artifacts
 
@@ -254,10 +272,23 @@ class TCGADataset(Dataset):
         idx = np.arange(len(self)) if indices is None else np.asarray(indices)
         if shuffle:
             (rng or np.random.default_rng()).shuffle(idx)
+        uses_slides = "slides" in self.sources
         for start in range(0, len(idx), batch_size):
             sel = idx[start : start + batch_size]
             if drop_remainder and sel.shape[0] < batch_size:
                 return
+            # overlap next batch's feature-file IO with this batch's compute
+            if self._native is not None and uses_slides:
+                lookahead = idx[start + batch_size : start + 2 * batch_size]
+                paths = [
+                    self._npy_path(
+                        self.omic_df.iloc[int(i)]["slide_id"].rsplit(".", 1)[0]
+                    )
+                    for i in lookahead
+                ]
+                paths = [p for p in paths if p.exists()]
+                if paths:
+                    self._native.prefetch(paths)
             pad = batch_size - sel.shape[0]
             mask = np.ones(batch_size, dtype=np.float32)
             if pad > 0:

@@ -38,7 +38,7 @@ from healnet_tpu.train.losses import (
     hazards_survival_risk,
     nll_loss,
 )
-from healnet_tpu.train.metrics import concordance_index_censored
+from healnet_tpu.runtime import concordance_index_native as concordance_index_censored
 from healnet_tpu.train.schedule import make_optimizer
 from healnet_tpu.utils.train_utils import EarlyStopping, l1_norm
 
