@@ -51,11 +51,26 @@ class Checkpointer:
             json.dump({"metrics": metrics or {}}, f, default=str)
         return path
 
-    def restore(self, step: Optional[int] = None, tag: str = "latest") -> Dict[str, Any]:
+    def restore(
+        self,
+        step: Optional[int] = None,
+        tag: str = "latest",
+        target: Optional[Any] = None,
+    ) -> Dict[str, Any]:
+        """Restore a step; pass ``target`` (a matching pytree, e.g. the live
+        (params, opt_state) state) to recover exact container types —
+        orbax otherwise returns plain dicts for NamedTuple optimizer states.
+        """
         if step is None:
             with open(self.directory / f"{tag}.json") as f:
                 step = json.load(f)["step"]
-        return self._ckptr.restore(self.directory / f"step_{step:08d}")
+        path = self.directory / f"step_{step:08d}"
+        if target is not None:
+            restored = self._ckptr.restore(path, item=target)
+        else:
+            restored = self._ckptr.restore(path)
+        restored["step"] = step
+        return restored
 
     def restore_best(self) -> Any:
         return self._ckptr.restore(self.directory / "best")["params"]

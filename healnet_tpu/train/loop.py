@@ -117,6 +117,8 @@ class SurvivalTrainer:
         device_sharding=None,
         aux_loss: bool = False,
         n_bins: Optional[int] = None,
+        checkpoint_dir=None,
+        resume: bool = False,
     ):
         # aux_loss: MultiModN-style modules whose __call__(tensors, targets)
         # returns (model_loss, logits); the model loss is added to the
@@ -143,6 +145,8 @@ class SurvivalTrainer:
         self.device_sharding = device_sharding
         self.aux_loss = aux_loss
         self.n_bins = n_bins
+        self.checkpoint_dir = checkpoint_dir
+        self.resume = resume
         self.params = None
         self.opt_state = None
         self._opt = None
@@ -281,9 +285,29 @@ class SurvivalTrainer:
         rng = jax.random.PRNGKey(self.seed + 1000 * fold)
         np_rng = np.random.default_rng(self.seed + fold)
 
+        # durable checkpoint/resume (the upgrade over the reference's
+        # in-memory-only best weights, SURVEY.md §5)
+        ckpt = None
+        start_epoch = 1
+        if self.checkpoint_dir is not None:
+            from healnet_tpu.train.checkpoint import Checkpointer
+
+            ckpt = Checkpointer(self.checkpoint_dir)
+            latest = ckpt.latest_step() if self.resume else None
+            if latest is not None:
+                restored = ckpt.restore(
+                    step=latest,
+                    target={"params": self.params, "opt_state": self.opt_state},
+                )
+                self.params = restored["params"]
+                self.opt_state = restored["opt_state"]
+                start_epoch = latest + 1
+                if verbose:
+                    print(f"Resumed from checkpoint epoch {latest}")
+
         history = []
         train_loss = train_c = val_loss = val_c = float("nan")
-        for epoch in range(1, self.epochs + 1):
+        for epoch in range(start_epoch, self.epochs + 1):
             t0 = time.time()
             losses, risks, cens, times, masks = [], [], [], [], []
             for batch in iterate_batches(
@@ -327,6 +351,13 @@ class SurvivalTrainer:
                         f"fold_{fold}_val_c_index": val_c,
                     },
                     step=epoch if fold == 1 else None,
+                )
+            if ckpt is not None:
+                ckpt.save(
+                    step=epoch,
+                    params=self.params,
+                    opt_state=self.opt_state,
+                    metrics={"val_loss": val_loss, "val_c_index": val_c},
                 )
             if self.early_stopping and stopper.step(val_loss, self.params):
                 if verbose:
