@@ -16,6 +16,7 @@ from healnet_tpu.parallel.train import (
     make_sharded_train_step,
     put_batch,
 )
+from healnet_tpu.parallel.seq_attention import sequence_parallel_attention
 
 __all__ = [
     "AXIS_DATA",
@@ -32,4 +33,5 @@ __all__ = [
     "init_sharded_state",
     "make_sharded_train_step",
     "put_batch",
+    "sequence_parallel_attention",
 ]
