@@ -324,6 +324,52 @@ class TCGADataset(Dataset):
         """Lightweight split view sharing this dataset's cache (fold splits)."""
         return DatasetView(self, np.asarray(indices))
 
+    # ------------------------------------------------------------- raw WSIs
+    def get_slide_paths(self) -> Dict[str, Path]:
+        """{slide filename: path} over the gdc download tree (`loaders.py:204-215`)."""
+        return {p.name: p for p in self.raw_path.glob("**/*.svs")}
+
+    def get_resize_dims(
+        self, level: int, patch_height: int = 128, patch_width: int = 128,
+        override: bool = False, slide=None,
+    ):
+        """Level dims rounded to patch multiples (`loaders.py:178-189`)."""
+        if override:
+            return (
+                int(self.config["data.resize_width"]),
+                int(self.config["data.resize_height"]),
+            )
+        if slide is None:
+            from healnet_tpu.etl.slides import OpenSlide
+
+            slide = OpenSlide(next(iter(self.get_slide_paths().values())))
+        w, h = slide.level_dimensions[min(level, slide.level_count - 1)]
+        return (
+            round(w / patch_width) * patch_width,
+            round(h / patch_height) * patch_height,
+        )
+
+    def load_wsi(self, slide_id: str, level: Optional[int] = None):
+        """Read a whole slide at a pyramid level, resized to patch multiples.
+
+        Returns (slide handle, (h, w, 3) float array) — the raw-WSI input
+        path (`loaders.py:350-380`). Requires libopenslide.
+        """
+        import cv2
+
+        from healnet_tpu.etl.slides import OpenSlide
+
+        slide = OpenSlide(self.raw_path / f"{slide_id}.svs")
+        if level is None or level > slide.level_count - 1:
+            level = slide.level_count - 1
+        size = slide.level_dimensions[level]
+        region = slide.read_region((0, 0), level, size)[:, :, :3]
+        width, height = self.get_resize_dims(
+            level, override=bool(self.config.get("data.resize", False)), slide=slide
+        )
+        resized = cv2.resize(region, (width, height), interpolation=cv2.INTER_LINEAR)
+        return slide, resized.astype(np.float32) / 255.0
+
     # ---------------------------------------------------------------- info
     def get_info(self, full_detail: bool = False) -> Dict[str, Any]:
         """Dataset summary (reference prints; we return a dict and print)."""
