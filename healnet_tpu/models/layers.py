@@ -160,12 +160,18 @@ class Attention(nn.Module):
                 on_tpu = jax.devices()[0].platform == "tpu"
             except Exception:
                 on_tpu = False
-            # Measured on v5e: XLA's einsum attention sits near the HBM
-            # roofline for latent-bottleneck shapes (small lq), so flash only
-            # pays off where XLA would materialise multi-GB (lq x lkv)
-            # weight tensors in fwd+bwd — i.e. when they threaten HBM capacity.
+            if not on_tpu:
+                return False
+            # Measured on v5e (fwd+bwd, fp32): for tiny latent arrays
+            # (lq << dim_head) XLA's einsum attention already sits at the HBM
+            # roofline and flash only adds overhead; once the weight matrix is
+            # comparable to the KV stream (lq >= dim_head) at long contexts,
+            # flash wins 1.4-2.8x by never materialising the (lq x lkv)
+            # weights. Also engage whenever the weights would threaten HBM.
             weights_bytes = b * self.heads * lq * lkv * 4
-            return on_tpu and weights_bytes > 2 * 1024**3
+            big_weights = weights_bytes > 2 * 1024**3
+            flash_regime = lq >= self.dim_head and lkv >= 8192
+            return flash_regime or big_weights
         return False
 
 

@@ -295,8 +295,15 @@ def flash_cross_attention(
 
     # Pad only the query rows (cheap: l_c is tiny) and the KV length to a
     # chunk multiple; the head dim stays unpadded (see module docstring).
+    # Prefer a chunk that DIVIDES lkv: padding k/v to a chunk multiple costs
+    # a full HBM copy of the context each call (and slice-copies of dk/dv in
+    # the backward), which dominated profiles at WSI scale.
     lq_p = _round_up(max(lq, 16), 16)
     chunk = min(kv_chunk, _round_up(lkv, 128))
+    for candidate in (kv_chunk, kv_chunk // 2, 1024, 512, 256, 128):
+        if candidate and candidate <= kv_chunk and lkv % candidate == 0:
+            chunk = candidate
+            break
     lkv_p = _round_up(lkv, chunk)
 
     qf = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
