@@ -78,6 +78,9 @@ def bench_jax() -> float:
     )
     rng = np.random.default_rng(0)
     batch = jax.tree_util.tree_map(jnp.asarray, _batch(rng))
+    # feature tensors ship as bf16 (the input pipeline stores bf16 patch
+    # features); labels/masks stay in their integer/fp32 types
+    batch["tensors"] = tuple(t.astype(jnp.bfloat16) for t in batch["tensors"])
     params = module.init(jax.random.PRNGKey(0), batch["tensors"])["params"]
     opt = make_optimizer(8e-3, total_steps=1000)
     opt_state = opt.init(params)

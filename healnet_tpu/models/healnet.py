@@ -167,6 +167,11 @@ class HealNetModule(nn.Module):
                 f"input data for modality {i + 1} must have the same number of "
                 f"axes as the num_spatial_axes parameter"
             )
+            if self.dtype is not None:
+                # cast once here: every fusion layer re-reads the context for
+                # its LayerNorm + kv projection, so context bytes dominate the
+                # step's HBM traffic — bf16 halves it
+                data = data.astype(self.dtype)
             if self.fourier_encode_data:
                 enc = positional_encoding(
                     spatial, self.max_freq, self.num_freq_bands, dtype=data.dtype
