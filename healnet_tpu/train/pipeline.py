@@ -170,6 +170,13 @@ class Pipeline:
         cw = class_weights(data.y_disc[train_idx], scheme)
         return data.take(train_idx), data.take(val_idx), data.take(test_idx), cw
 
+    def _compute_dtype(self):
+        """`precision: bf16` halves context HBM traffic (params stay fp32)."""
+        import jax.numpy as jnp
+
+        precision = str(self.config.get("precision", "fp32")).lower()
+        return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(precision)
+
     # ---------------------------------------------------------------- model
     def make_model(self, example_batch: Dict[str, Any]):
         """Instantiate the configured model, shape-inferred from a batch."""
@@ -206,6 +213,7 @@ class Pipeline:
                 final_classifier_head=True,
                 snn=bool(mp("snn")),
                 attention_impl=str(self.config.get("attention_impl", "auto")),
+                dtype=self._compute_dtype(),
             )
 
         if model_name == "fcnn":

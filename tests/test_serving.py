@@ -1,0 +1,70 @@
+"""Serving predictor tests: fixed-shape batching, missing modalities, checkpoints."""
+
+import jax
+import numpy as np
+import pytest
+
+from healnet_tpu.models import HealNetModule
+from healnet_tpu.serving import Predictor
+
+
+@pytest.fixture
+def module_and_params(rng):
+    module = HealNetModule(
+        n_modalities=2, channel_dims=(12, 6), num_spatial_axes=(1, 1), out_dims=4,
+        depth=1, l_c=4, l_d=8, x_heads=1, l_heads=1,
+        cross_dim_head=4, latent_dim_head=4, self_per_cross_attn=0,
+    )
+    tensors = (
+        np.zeros((2, 1, 12), np.float32),
+        np.zeros((2, 5, 6), np.float32),
+    )
+    params = module.init(jax.random.PRNGKey(0), tensors)["params"]
+    return module, params
+
+
+def test_predictor_outputs(module_and_params, rng):
+    module, params = module_and_params
+    predictor = Predictor(module, params, batch_size=4)
+    n = 10  # not a multiple of batch_size -> padding + splitting
+    omic = rng.normal(size=(n, 1, 12)).astype(np.float32)
+    wsi = rng.normal(size=(n, 5, 6)).astype(np.float32)
+    out = predictor([omic, wsi])
+    assert out["logits"].shape == (n, 4)
+    assert out["hazards"].shape == (n, 4)
+    assert out["survival"].shape == (n, 4)
+    assert out["risk"].shape == (n,)
+    # the survival chain holds
+    np.testing.assert_allclose(
+        out["survival"], np.cumprod(1 - out["hazards"], axis=1), rtol=1e-5
+    )
+    np.testing.assert_allclose(out["risk"], -out["survival"].sum(1), rtol=1e-5)
+    # padding must not alter results: compare against single-shot batch
+    big = Predictor(module, params, batch_size=16)([omic, wsi])
+    np.testing.assert_allclose(out["logits"], big["logits"], rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_missing_modality(module_and_params, rng):
+    module, params = module_and_params
+    predictor = Predictor(module, params, batch_size=4)
+    omic = rng.normal(size=(6, 1, 12)).astype(np.float32)
+    out = predictor([omic, None])
+    assert np.isfinite(out["risk"]).all()
+    # equals explicit zero-tensor + presence
+    wsi_zero = np.zeros((6, 1, 6), np.float32)
+    presence = np.tile([[1.0, 0.0]], (6, 1))
+    out2 = predictor([omic, wsi_zero], presence=presence)
+    np.testing.assert_allclose(out["logits"], out2["logits"], rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_from_checkpoint(module_and_params, tmp_path, rng):
+    from healnet_tpu.train.checkpoint import Checkpointer
+
+    module, params = module_and_params
+    Checkpointer(tmp_path).save_best(params)
+    predictor = Predictor(module, tmp_path, batch_size=4)
+    omic = rng.normal(size=(3, 1, 12)).astype(np.float32)
+    wsi = rng.normal(size=(3, 5, 6)).astype(np.float32)
+    direct = Predictor(module, params, batch_size=4)([omic, wsi])
+    loaded = predictor([omic, wsi])
+    np.testing.assert_allclose(loaded["logits"], direct["logits"], rtol=1e-6)
