@@ -159,6 +159,13 @@ def _bwd_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dk_ref, dv_ref, dq_scr, *, scale
 ):
+    """Flash backward in TRANSPOSED score layout.
+
+    Scores/probabilities are computed as (C, lq) rather than (lq, C): the dv
+    and dk products then contract over the canonical (last-of-A, middle-of-B)
+    dims, avoiding the per-chunk operand transposes that held the original
+    layout to half the HBM roofline.
+    """
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -170,31 +177,34 @@ def _bwd_kernel(
     k = k_ref[...].astype(jnp.float32)           # (G, C, d)
     v = v_ref[...].astype(jnp.float32)           # (G, C, d)
     do = do_ref[...].astype(jnp.float32)         # (G, lq, d)
-    lse = lse_ref[...][..., 0:1]                 # (G, lq, 1)
-    delta = delta_ref[...][..., 0:1]             # (G, lq, 1)
-    mask = mask_ref[...]                         # (G, 1, C)
+    # keep everything slice/transpose-based: integer indexing lowers to
+    # gathers Mosaic does not support beyond 2D
+    lse_row = jnp.swapaxes(lse_ref[...][:, :, 0:1], 1, 2)      # (G, 1, lq)
+    delta_row = jnp.swapaxes(delta_ref[...][:, :, 0:1], 1, 2)  # (G, 1, lq)
+    mask_col = jnp.swapaxes(mask_ref[...], 1, 2)               # (G, C, 1)
 
-    s = jax.lax.dot_general(q, k, _BATCH_DN(), preferred_element_type=jnp.float32)
-    s = s * scale + (mask - 1.0) * (-_NEG_BIG)
-    p = jnp.exp(s - lse) * mask                  # (G, lq, C) softmax probs
+    # s_T = (k q^T) : (G, C, lq) — contraction over d on the last dims
+    s_t = jax.lax.dot_general(k, q, _BATCH_DN(), preferred_element_type=jnp.float32)
+    s_t = s_t * scale + (mask_col - 1.0) * (-_NEG_BIG)
+    p_t = jnp.exp(s_t - lse_row) * mask_col                    # (G, C, lq)
 
-    # dv_chunk = p^T @ do      (contract lq)
+    # dv_chunk = p^T @ do : (G, C, lq) x (G, lq, d) — canonical batched matmul
     dv_ref[...] = jax.lax.dot_general(
-        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p_t, do, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
-    # dp = do @ v^T ; ds = p * (dp - delta)
-    dp = jax.lax.dot_general(do, v, _BATCH_DN(), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)                        # (G, lq, C)
-    # dk_chunk = ds^T @ q * scale   (contract lq)
+    # dp_T = v do^T : (G, C, lq); ds_T = p_T * (dp_T - delta)
+    dp_t = jax.lax.dot_general(v, do, _BATCH_DN(), preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - delta_row)                       # (G, C, lq)
+    # dk_chunk = ds^T @ q : (G, C, lq) x (G, lq, d) — canonical
     dk_ref[...] = (
         jax.lax.dot_general(
-            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ds_t, q, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         * scale
     ).astype(dk_ref.dtype)
-    # dq += ds @ k * scale          (contract C)
+    # dq += ds @ k = ds_T^T @ k : contract over C (dim 1 of both)
     dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ds_t, k, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
 
     @pl.when(j == n_chunks - 1)
