@@ -1,0 +1,39 @@
+"""Multi-host data placement.
+
+On a multi-host pod slice every process loads only its shard of the global
+batch; :func:`global_batch_from_host_local` assembles the global sharded
+arrays with ``jax.make_array_from_process_local_data`` (the TPU-native
+replacement for the reference's per-GPU independent processes,
+`run_plan.sh:17-21` / SURVEY.md §2.6). On a single host it degrades to the
+plain mesh placement of :func:`healnet_tpu.parallel.train.put_batch`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from healnet_tpu.parallel.train import batch_shardings, put_batch
+
+
+def global_batch_from_host_local(batch: Dict[str, Any], mesh: Mesh):
+    """Per-process local batch shards -> global sharded device arrays.
+
+    Each process passes its LOCAL slice of the batch (leading axis =
+    global_batch / process_count); the returned arrays are global views
+    sharded per :func:`batch_shardings`.
+    """
+    if jax.process_count() == 1:
+        return put_batch(batch, mesh)
+    shardings = batch_shardings(batch, mesh)
+
+    def assemble(local, sharding):
+        local = np.asarray(local)
+        global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+    return jax.tree_util.tree_map(assemble, batch, shardings)

@@ -119,7 +119,12 @@ class SurvivalTrainer:
         n_bins: Optional[int] = None,
         checkpoint_dir=None,
         resume: bool = False,
+        mesh=None,
+        tensor_parallel: bool = True,
     ):
+        # mesh: a jax.sharding.Mesh -> the train/eval steps run SPMD over it
+        # (batch over 'data', patch tokens over 'seq', Megatron TP over
+        # 'model' when tensor_parallel). None = single-device jit.
         # aux_loss: MultiModN-style modules whose __call__(tensors, targets)
         # returns (model_loss, logits); the model loss is added to the
         # survival loss as in the reference train loop (`main.py:428-463`).
@@ -147,6 +152,8 @@ class SurvivalTrainer:
         self.n_bins = n_bins
         self.checkpoint_dir = checkpoint_dir
         self.resume = resume
+        self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
         self.params = None
         self.opt_state = None
         self._opt = None
@@ -181,6 +188,14 @@ class SurvivalTrainer:
                 hazards, survival, batch["censorship"], event_time=batch["event_time"]
             )
         return loss, risk
+
+    def _place(self, batch):
+        """Host batch -> device(s): mesh shardings when SPMD, else as-is."""
+        if self.mesh is None:
+            return batch
+        from healnet_tpu.parallel.train import put_batch
+
+        return put_batch(batch, self.mesh)
 
     def _reg_skip(self) -> bool:
         # reference gating (`train_utils.py:5-14`)
@@ -279,6 +294,10 @@ class SurvivalTrainer:
         self._build_steps(total_steps)
         if self.params is None:
             self.init_params(train_data)
+        if self.mesh is not None:
+            from healnet_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, self.mesh, self.tensor_parallel)
         self.opt_state = self._opt.init(self.params)
 
         stopper = EarlyStopping(patience=self.patience, mode="min", verbose=verbose)
@@ -315,7 +334,7 @@ class SurvivalTrainer:
             ):
                 rng, step_rng = jax.random.split(rng)
                 self.params, self.opt_state, loss, risk = self._train_step(
-                    self.params, self.opt_state, batch, step_rng
+                    self.params, self.opt_state, self._place(batch), step_rng
                 )
                 losses.append(loss)
                 risks.append(np.asarray(risk))
@@ -414,7 +433,7 @@ class SurvivalTrainer:
                     drop = 1
                 presence[:, drop] = 0.0
                 batch["presence"] = presence
-            loss, risk, _ = self._eval_step(self.params, batch)
+            loss, risk, _ = self._eval_step(self.params, self._place(batch))
             losses.append(np.asarray(loss))
             risks.append(np.asarray(risk))
             cens.append(batch["censorship"])

@@ -260,9 +260,15 @@ class Pipeline:
         )
         model = self.make_model(example_batch)
         model_name = self.config["model"]
+        mesh = None
+        if self.config.get("spmd", False):
+            from healnet_tpu.parallel import make_mesh
+
+            mesh = make_mesh()  # all visible devices, (data, seq, model)
         return SurvivalTrainer(
             model,
             loss_type=self.config["survival.loss"],
+            mesh=mesh,
             l1=float(self.config["model_params.l1"]),
             class_weights=cw,
             batch_size=int(self.config["train_loop.batch_size"]),

@@ -136,3 +136,45 @@ def test_multi_step_training_on_mesh():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_trainer_with_mesh_matches_single_device():
+    """SurvivalTrainer(mesh=8-device) reproduces the single-device run."""
+    from healnet_tpu.train import SurvivalTrainer
+
+    def data(n, seed):
+        r = np.random.default_rng(seed)
+        return {
+            "tensors": (
+                r.normal(size=(n, 1, 32)).astype(np.float32),
+                r.normal(size=(n, 16, 16)).astype(np.float32),
+            ),
+            "y_disc": r.integers(0, 4, n).astype(np.int32),
+            "censorship": r.integers(0, 2, n).astype(np.float32),
+            "event_time": r.uniform(1, 100, n).astype(np.float32),
+        }
+
+    def run(mesh):
+        trainer = SurvivalTrainer(
+            _module(), batch_size=8, epochs=2, early_stopping=False,
+            gc_compat=1, seed=0, mesh=mesh,
+        )
+        res = trainer.fit(data(32, 0), data(16, 1), verbose=False)
+        return res
+
+    res_mesh = run(make_mesh(8))
+    res_single = run(None)
+    np.testing.assert_allclose(
+        res_mesh["train_loss"], res_single["train_loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        res_mesh["val_c_index"], res_single["val_c_index"], rtol=1e-6
+    )
+
+
+def test_global_batch_single_process():
+    from healnet_tpu.parallel.data import global_batch_from_host_local
+
+    mesh = make_mesh(8)
+    placed = global_batch_from_host_local(_batch(b=8, tokens=16), mesh)
+    assert tuple(placed["tensors"][1].sharding.spec)[:2] == (AXIS_DATA, AXIS_SEQ)
