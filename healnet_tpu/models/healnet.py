@@ -134,6 +134,11 @@ class HealNetModule(nn.Module):
     snn: bool = True
     attention_impl: str = "xla"
     dtype: Any = None
+    # rematerialise each attention/FF block in the backward pass: activation
+    # memory drops from O(depth * modalities * tokens) to O(tokens) at the
+    # cost of one extra forward — the jax.checkpoint trade for deep configs
+    # (e.g. KIRP depth 5) or giant contexts
+    remat: bool = False
 
     def input_dims(self) -> List[int]:
         """Per-modality context dims after Fourier concat (`healnet.py:134-139`)."""
@@ -187,13 +192,19 @@ class HealNetModule(nn.Module):
             kv_masks = [None] * self.n_modalities
 
         # ---- module construction honouring cache_fn tying semantics
+        if self.remat:
+            attn_cls = nn.remat(PreNormAttention, static_argnums=(4, 5))
+            ff_cls = nn.remat(PreNormFeedForward, static_argnums=(2,))
+        else:
+            attn_cls, ff_cls = PreNormAttention, PreNormFeedForward
+
         groups: Dict[int, Dict[str, Any]] = {}
         for layer in range(self.depth):
             key = _tie_key(layer, self.weight_tie_layers)
             if key in groups:
                 continue
             cross_attns = [
-                PreNormAttention(
+                attn_cls(
                     query_dim=self.l_d,
                     context_dim=input_dims[m],
                     heads=self.x_heads,
@@ -207,7 +218,7 @@ class HealNetModule(nn.Module):
             ]
             if key >= 1 and self.weight_tie_layers:
                 # cache_fn key=None: one FF shared across modalities AND layers >= 1
-                shared_ff = PreNormFeedForward(
+                shared_ff = ff_cls(
                     dim=self.l_d,
                     dropout=self.ff_dropout,
                     snn=self.snn,
@@ -217,7 +228,7 @@ class HealNetModule(nn.Module):
                 cross_ffs = [shared_ff] * self.n_modalities
             else:
                 cross_ffs = [
-                    PreNormFeedForward(
+                    ff_cls(
                         dim=self.l_d,
                         dropout=self.ff_dropout,
                         snn=self.snn,
@@ -227,7 +238,7 @@ class HealNetModule(nn.Module):
                     for m in range(self.n_modalities)
                 ]
             self_attns = [
-                PreNormAttention(
+                attn_cls(
                     query_dim=self.l_d,
                     heads=self.l_heads,
                     dim_head=self.latent_dim_head,
@@ -239,7 +250,7 @@ class HealNetModule(nn.Module):
                 for blk in range(self.self_per_cross_attn)
             ]
             self_ffs = [
-                PreNormFeedForward(
+                ff_cls(
                     dim=self.l_d,
                     dropout=self.ff_dropout,
                     snn=self.snn,
@@ -266,29 +277,25 @@ class HealNetModule(nn.Module):
             mods = groups[_tie_key(layer, self.weight_tie_layers)]
             for i in range(self.n_modalities):
                 pres = presence[:, i][:, None, None]
+                # positional args: remat-transformed modules resolve their
+                # static_argnums positionally
                 update, weights = mods["cross_attns"][i](
-                    x,
-                    context=contexts[i],
-                    kv_mask=kv_masks[i],
-                    deterministic=deterministic,
-                    return_weights=store_attention,
+                    x, contexts[i], kv_masks[i], deterministic, store_attention
                 )
                 if store_attention:
                     self.sow("intermediates", f"attn_l{layer}_cross_m{i}", weights)
                 x = pres * update + x
-                x = pres * mods["cross_ffs"][i](x, deterministic=deterministic) + x
+                x = pres * mods["cross_ffs"][i](x, deterministic) + x
                 # self-attention runs per modality iteration, matching the
                 # reference's actual control flow (`healnet.py:241-245`)
                 for blk in range(self.self_per_cross_attn):
                     update, weights = mods["self_attns"][blk](
-                        x,
-                        deterministic=deterministic,
-                        return_weights=store_attention,
+                        x, None, None, deterministic, store_attention
                     )
                     if store_attention:
                         self.sow("intermediates", f"attn_l{layer}_self_b{blk}", weights)
                     x = update + x
-                    x = mods["self_ffs"][blk](x, deterministic=deterministic) + x
+                    x = mods["self_ffs"][blk](x, deterministic) + x
 
         if return_embeddings or not self.final_classifier_head:
             return x

@@ -121,10 +121,18 @@ class SurvivalTrainer:
         resume: bool = False,
         mesh=None,
         tensor_parallel: bool = True,
+        accum_steps: int = 1,
+        prefetch: int = 2,
     ):
         # mesh: a jax.sharding.Mesh -> the train/eval steps run SPMD over it
         # (batch over 'data', patch tokens over 'seq', Megatron TP over
         # 'model' when tensor_parallel). None = single-device jit.
+        # accum_steps: true gradient accumulation — each global batch is
+        # split into accum_steps micro-batches scanned inside the jitted
+        # step (memory ~ 1/accum_steps). The reference's "gc" is a loss
+        # scale only (`main.py:463-467`, optimizer steps every batch);
+        # that quirk stays separately available via gc_compat.
+        # prefetch: host batches decoded ahead on a background thread.
         # aux_loss: MultiModN-style modules whose __call__(tensors, targets)
         # returns (model_loss, logits); the model loss is added to the
         # survival loss as in the reference train loop (`main.py:428-463`).
@@ -154,6 +162,11 @@ class SurvivalTrainer:
         self.resume = resume
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
+        assert accum_steps >= 1 and batch_size % accum_steps == 0, (
+            "batch_size must be divisible by accum_steps"
+        )
+        self.accum_steps = accum_steps
+        self.prefetch = prefetch
         self.params = None
         self.opt_state = None
         self._opt = None
@@ -237,7 +250,7 @@ class SurvivalTrainer:
         l1 = 0.0 if self._reg_skip() else self.l1
         gc = float(self.gc_compat)
 
-        def train_step(params, opt_state, batch, rng):
+        def loss_and_grads(params, batch, rng):
             def loss_fn(p):
                 logits, model_loss = self._forward(p, batch, deterministic=False, rng=rng)
                 surv_loss, risk = self._surv_loss(logits, batch)
@@ -245,9 +258,38 @@ class SurvivalTrainer:
                 total = surv_loss / gc + reg + model_loss
                 return total, (surv_loss, risk)
 
-            (_, (surv_loss, risk)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, aux
+
+        def train_step(params, opt_state, batch, rng):
+            if self.accum_steps == 1:
+                grads, (surv_loss, risk) = loss_and_grads(params, batch, rng)
+            else:
+                # split the batch into micro-batches and scan: grads are
+                # averaged, activations live one micro-batch at a time
+                a = self.accum_steps
+
+                def split(x):
+                    return x.reshape((a, x.shape[0] // a) + x.shape[1:])
+
+                micro = jax.tree_util.tree_map(split, batch)
+
+                def body(carry, mb_and_rng):
+                    grads_acc, loss_acc = carry
+                    mb, key = mb_and_rng
+                    grads, (surv_loss, risk) = loss_and_grads(params, mb, key)
+                    grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + surv_loss), risk
+
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+                keys = jax.random.split(rng, a)
+                (grads, loss_sum), risks = jax.lax.scan(
+                    body, (zero_grads, jnp.float32(0)), (micro, keys)
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / a, grads)
+                surv_loss = loss_sum / a
+                risk = risks.reshape(-1)
+
             updates, opt_state = self._opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, surv_loss, risk
@@ -329,9 +371,14 @@ class SurvivalTrainer:
         for epoch in range(start_epoch, self.epochs + 1):
             t0 = time.time()
             losses, risks, cens, times, masks = [], [], [], [], []
-            for batch in iterate_batches(
+            batches = iterate_batches(
                 train_data, self.batch_size, shuffle=True, rng=np_rng
-            ):
+            )
+            if self.prefetch > 0:
+                from healnet_tpu.etl.prefetch import BackgroundIterator
+
+                batches = BackgroundIterator(batches, buffer_size=self.prefetch)
+            for batch in batches:
                 rng, step_rng = jax.random.split(rng)
                 self.params, self.opt_state, loss, risk = self._train_step(
                     self.params, self.opt_state, self._place(batch), step_rng

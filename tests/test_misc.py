@@ -102,3 +102,73 @@ def test_flatten_unflatten_roundtrip():
     assert flat["a.b.c"] == 1 and flat["d"] == [1, 2]
     back = unflatten_config(flat)
     assert back["a"]["b"]["c"] == 1 and back["e"] == "x"
+
+
+def test_remat_outputs_and_grads_match():
+    """remat=True must be numerically identical (fwd + grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.normal(size=(2, 1, 16)).astype(np.float32))
+    wsi = jnp.asarray(rng.normal(size=(2, 10, 8)).astype(np.float32))
+    kw = dict(
+        n_modalities=2, channel_dims=(16, 8), num_spatial_axes=(1, 1), out_dims=4,
+        depth=2, l_c=4, l_d=8, x_heads=1, l_heads=1,
+        cross_dim_head=4, latent_dim_head=4, self_per_cross_attn=1,
+    )
+    m_plain = HealNetModule(**kw)
+    m_remat = HealNetModule(remat=True, **kw)
+    params = m_plain.init(jax.random.PRNGKey(0), (tab, wsi))["params"]
+
+    out_plain = m_plain.apply({"params": params}, (tab, wsi))
+    out_remat = m_remat.apply({"params": params}, (tab, wsi))
+    # remat changes XLA fusion boundaries -> last-ulp rounding differences
+    np.testing.assert_allclose(
+        np.asarray(out_remat), np.asarray(out_plain), rtol=1e-5, atol=1e-6
+    )
+
+    def loss(m):
+        return lambda p: jnp.sum(jnp.sin(m.apply({"params": p}, (tab, wsi))))
+
+    g_plain = jax.grad(loss(m_plain))(params)
+    g_remat = jax.grad(loss(m_remat))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        g_remat,
+        g_plain,
+    )
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 must reproduce the full-batch gradient step exactly."""
+    train, val = _data(32, 0), _data(16, 1)
+
+    def run(accum):
+        t = SurvivalTrainer(
+            _module(), batch_size=8, epochs=2, early_stopping=False, gc_compat=1,
+            seed=0, accum_steps=accum, prefetch=0,
+        )
+        return t.fit(train, val, verbose=False)
+
+    full = run(1)
+    accum = run(4)
+    np.testing.assert_allclose(accum["train_loss"], full["train_loss"], rtol=1e-4)
+    np.testing.assert_allclose(accum["val_loss"], full["val_loss"], rtol=1e-4)
+
+
+def test_trainer_prefetch_same_results():
+    train, val = _data(32, 0), _data(16, 1)
+
+    def run(prefetch):
+        t = SurvivalTrainer(
+            _module(), batch_size=8, epochs=2, early_stopping=False, gc_compat=1,
+            seed=0, prefetch=prefetch,
+        )
+        return t.fit(train, val, verbose=False)
+
+    np.testing.assert_allclose(
+        run(0)["train_loss"], run(4)["train_loss"], rtol=1e-6
+    )
