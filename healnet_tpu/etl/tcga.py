@@ -108,7 +108,11 @@ class TCGADataset(Dataset):
         log_dir=None,
         cache_capacity: int = 256,
         native_cache_mb: Optional[int] = 2048,
+        max_patches: Optional[int] = None,
     ):
+        # max_patches: pad/truncate ragged patch bags to this static length
+        # and emit per-sample KV masks (XLA needs static shapes; SURVEY §7.3).
+        # None = "auto": scan the feature files once and use the largest bag.
         valid_sources = ("omic", "slides")
         assert all(s in valid_sources for s in sources), (
             f"Invalid source specified. Valid sources are {list(valid_sources)}"
@@ -140,6 +144,13 @@ class TCGADataset(Dataset):
         self.omic_attention = bool(
             config.get("omic_attention", True) if hasattr(config, "get") else True
         )
+        # patch_attention=True: patches are context TOKENS (n_patches, dim)
+        # with per-sample KV masks for ragged bags — the TPU-native layout.
+        # False (reference parity): (dim, n_patches), patches as channels
+        # zero-padded to a static width (`tasks.py:148-192` offline padding).
+        self.patch_attention = bool(
+            config.get("patch_attention", False) if hasattr(config, "get") else False
+        )
 
         self.omic_df = self.load_omic()
         self.features = self.omic_df.drop(
@@ -158,6 +169,9 @@ class TCGADataset(Dataset):
         self.survival_months = self.omic_df["survival_months"].values.astype(np.float32)
         self.y_disc = self.omic_df["y_disc"].values.astype(np.int32)
         self._cache = LRUCache(cache_capacity)
+        self.max_patches = max_patches
+        if self.max_patches is None and "slides" in self.sources:
+            self.max_patches = self._scan_max_patches()
         # native C++ cache for .npy feature files: byte-bounded LRU with a
         # background prefetch thread pool (cpp/healnet_runtime.cc)
         self._native = None
@@ -205,8 +219,22 @@ class TCGADataset(Dataset):
     def _npy_path(self, slide_id: str) -> Path:
         return self.prep_path / "patch_features" / f"{slide_id}.npy"
 
+    def _scan_max_patches(self) -> Optional[int]:
+        """Largest bag length across the dataset (reads only npy headers)."""
+        largest = 0
+        base = self.prep_path / "patch_features"
+        for sid in self.slide_ids:
+            npy = base / f"{sid}.npy"
+            if not npy.exists():
+                return None  # .pt-only layout: reference pads offline
+            with open(npy, "rb") as f:
+                version = np.lib.format.read_magic(f)
+                shape, _, _ = np.lib.format._read_array_header(f, version)
+            largest = max(largest, shape[0])
+        return largest or None
+
     def load_patch_features(self, slide_id: str) -> np.ndarray:
-        """Per-slide patch features, transposed to (feat_dim, n_patches)."""
+        """Raw per-slide patch features, (n_patches, feat_dim)."""
         base = self.prep_path / "patch_features"
         npy = base / f"{slide_id}.npy"
         if npy.exists():
@@ -219,16 +247,29 @@ class TCGADataset(Dataset):
 
             with open(base / f"{slide_id}.pt", "rb") as f:
                 feats = torch.load(f, weights_only=True).numpy()
-        return np.ascontiguousarray(feats.T.astype(np.float32))
+        return np.asarray(feats, dtype=np.float32)
 
-    def _slide_tensor(self, index: int) -> np.ndarray:
+    def _slide_tensor(self, index: int) -> Tuple[np.ndarray, int]:
+        """(static-shape slide tensor, n_valid_patches) — ragged bags padded."""
         cached = self._cache.get(index)
         if cached is not None:
             return cached
         slide_id = self.omic_df.iloc[index]["slide_id"].rsplit(".", 1)[0]
-        tensor = self.load_patch_features(slide_id)
-        self._cache.set(index, tensor)
-        return tensor
+        feats = self.load_patch_features(slide_id)  # (n_patches, dim)
+        n_valid = feats.shape[0]
+        if self.max_patches is not None:
+            if n_valid > self.max_patches:
+                feats = feats[: self.max_patches]
+                n_valid = self.max_patches
+            elif n_valid < self.max_patches:
+                feats = np.pad(feats, ((0, self.max_patches - n_valid), (0, 0)))
+        if self.patch_attention:
+            tensor = np.ascontiguousarray(feats)      # (tokens, channels)
+        else:
+            tensor = np.ascontiguousarray(feats.T)    # (dim, n_patches) parity
+        entry = (tensor, n_valid)
+        self._cache.set(index, entry)
+        return entry
 
     # ------------------------------------------------------------- indexing
     def __len__(self) -> int:
@@ -237,27 +278,32 @@ class TCGADataset(Dataset):
         return len(self.slide_ids)
 
     def __getitem__(self, index: int):
+        tensors, censorship, event_time, y_disc, _ = self._sample(index)
+        return tensors, censorship, event_time, y_disc
+
+    def _sample(self, index: int):
+        """([tensors], censorship, event_time, y_disc, n_valid_patches|None)."""
         y_disc = self.y_disc[index]
         censorship = self.censorship[index]
         event_time = self.survival_months[index]
 
         if self.sources == ["omic"]:
-            return [self.omic_tensor[index]], censorship, event_time, y_disc
+            return [self.omic_tensor[index]], censorship, event_time, y_disc, None
 
         if self.sources == ["slides"]:
-            slide = self._slide_tensor(index)
+            slide, n_valid = self._slide_tensor(index)
             if self.model == "fcnn":
                 slide = slide.reshape(-1)
-            return [slide], censorship, event_time, y_disc
+            return [slide], censorship, event_time, y_disc, n_valid
 
         omic = self.omic_tensor[index]
-        slide = self._slide_tensor(index)
+        slide, n_valid = self._slide_tensor(index)
         if self.concat:  # early fusion (`loaders.py:168-174`)
             concat = np.concatenate([omic.reshape(-1), slide.reshape(-1)])
             if self.model == "healnet_early":
                 concat = concat[None, :]
-            return [concat], censorship, event_time, y_disc
-        return [omic, slide], censorship, event_time, y_disc
+            return [concat], censorship, event_time, y_disc, None
+        return [omic, slide], censorship, event_time, y_disc, n_valid
 
     # ------------------------------------------------------------- batching
     def iter_batches(
@@ -294,9 +340,9 @@ class TCGADataset(Dataset):
             if pad > 0:
                 sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
                 mask[batch_size - pad :] = 0.0
-            samples = [self[int(i)] for i in sel]
+            samples = [self._sample(int(i)) for i in sel]
             n_mod = len(samples[0][0])
-            yield {
+            batch = {
                 "tensors": tuple(
                     np.stack([s[0][m] for s in samples]) for m in range(n_mod)
                 ),
@@ -305,13 +351,22 @@ class TCGADataset(Dataset):
                 "y_disc": np.asarray([s[3] for s in samples], np.int32),
                 "sample_mask": mask,
             }
+            if self.patch_attention and samples[0][4] is not None:
+                # ragged bags: per-sample token masks over the patch axis
+                n_valid = np.asarray([s[4] for s in samples])
+                token_ids = np.arange(self.max_patches)[None, :]
+                patch_mask = token_ids < n_valid[:, None]
+                kv_masks = [None] * n_mod
+                kv_masks[-1] = patch_mask
+                batch["kv_masks"] = tuple(kv_masks)
+            yield batch
 
     def materialize(self, indices: Optional[np.ndarray] = None) -> Dict[str, Any]:
         """Whole-split arrays for in-memory training (small datasets only)."""
         idx = np.arange(len(self)) if indices is None else np.asarray(indices)
-        samples = [self[int(i)] for i in idx]
+        samples = [self._sample(int(i)) for i in idx]
         n_mod = len(samples[0][0])
-        return {
+        out = {
             "tensors": tuple(
                 np.stack([s[0][m] for s in samples]) for m in range(n_mod)
             ),
@@ -319,6 +374,13 @@ class TCGADataset(Dataset):
             "event_time": np.asarray([s[2] for s in samples], np.float32),
             "y_disc": np.asarray([s[3] for s in samples], np.int32),
         }
+        if self.patch_attention and samples[0][4] is not None:
+            n_valid = np.asarray([s[4] for s in samples])
+            patch_mask = np.arange(self.max_patches)[None, :] < n_valid[:, None]
+            kv_masks = [None] * n_mod
+            kv_masks[-1] = patch_mask
+            out["kv_masks"] = tuple(kv_masks)
+        return out
 
     def take(self, indices: np.ndarray) -> "DatasetView":
         """Lightweight split view sharing this dataset's cache (fold splits)."""

@@ -79,6 +79,10 @@ def iterate_batches(
         }
         if "presence" in data and data["presence"] is not None:
             batch["presence"] = np.asarray(data["presence"])[sel].astype(np.float32)
+        if "kv_masks" in data and data["kv_masks"] is not None:
+            batch["kv_masks"] = tuple(
+                None if m is None else np.asarray(m)[sel] for m in data["kv_masks"]
+            )
         yield batch
 
 
@@ -234,12 +238,16 @@ class SurvivalTrainer:
                 rngs=rngs,
             )
             return logits, model_loss
+        kwargs = {}
+        if batch.get("kv_masks") is not None:
+            kwargs["kv_masks"] = batch["kv_masks"]  # ragged-context token masks
         logits = self.module.apply(
             {"params": params},
             batch["tensors"],
             presence=batch.get("presence"),
             deterministic=deterministic,
             rngs=rngs,
+            **kwargs,
         )
         return logits, 0.0
 

@@ -221,3 +221,83 @@ def test_device_prefetcher_order(tcga_root):
     assert len(direct) == len(prefetched)
     for a, b in zip(direct, prefetched):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.fixture
+def ragged_tcga_root(tmp_path, rng):
+    """TCGA tree with VARIABLE patch counts per slide."""
+    root = tmp_path / "tcga_ragged"
+    (root / "omic").mkdir(parents=True)
+    patches = root / "wsi" / "brca_preprocessed_level2" / "patches"
+    features = root / "wsi" / "brca_preprocessed_level2" / "patch_features"
+    patches.mkdir(parents=True)
+    features.mkdir(parents=True)
+    counts = [3, 6, 2, 5, 6, 4, 1, 6, 3, 2, 5, 4]
+    sids = [f"TCGA-R{i:03d}" for i in range(len(counts))]
+    for sid, n in zip(sids, counts):
+        (patches / f"{sid}.h5").touch()
+        np.save(features / f"{sid}.npy",
+                rng.normal(size=(n, PATCH_DIM)).astype(np.float32))
+    df = pd.DataFrame(
+        rng.normal(size=(len(sids), N_FEATS)).astype(np.float32),
+        columns=[f"gene_{i}" for i in range(N_FEATS)],
+    )
+    df["site"] = "b"; df["oncotree_code"] = "x"
+    df["case_id"] = sids
+    df["slide_id"] = [s + ".svs" for s in sids]
+    df["train"] = 1
+    df["censorship"] = rng.integers(0, 2, len(sids))
+    df["survival_months"] = rng.uniform(5, 100, len(sids))
+    df.to_csv(root / "omic" / "tcga_brca_all_clean.csv.zip", compression="zip")
+    return root, counts
+
+
+def test_ragged_bags_reference_layout(ragged_tcga_root):
+    """Parity layout: ragged bags zero-padded as channels to max_patches."""
+    root, counts = ragged_tcga_root
+    ds = TCGADataset("brca", _config(root), n_bins=4)
+    assert ds.max_patches == max(counts)
+    [_, slide], *_ = ds[0]
+    assert slide.shape == (PATCH_DIM, max(counts))
+    batch = next(ds.iter_batches(4))
+    assert batch["tensors"][1].shape == (4, PATCH_DIM, max(counts))
+    assert "kv_masks" not in batch  # channels need no mask
+
+
+def test_ragged_bags_patch_attention_layout(ragged_tcga_root):
+    """TPU layout: patches as tokens, per-sample KV masks, model consumes them."""
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    batch = next(ds.iter_batches(4))
+    assert batch["tensors"][1].shape == (4, max(counts), PATCH_DIM)
+    mask = batch["kv_masks"][1]
+    np.testing.assert_array_equal(mask.sum(1), np.minimum(counts[:4], max(counts)))
+
+    # padded tokens must not influence the model: train one step + compare
+    from healnet_tpu.models import HealNetModule
+    from healnet_tpu.train import SurvivalTrainer
+
+    module = HealNetModule(
+        n_modalities=2, channel_dims=(N_FEATS, PATCH_DIM), num_spatial_axes=(1, 1),
+        out_dims=4, depth=1, l_c=4, l_d=8, x_heads=1, l_heads=1,
+        cross_dim_head=4, latent_dim_head=4, self_per_cross_attn=0,
+    )
+    trainer = SurvivalTrainer(module, batch_size=4, epochs=1, early_stopping=False,
+                              gc_compat=1, prefetch=0)
+    res = trainer.fit(ds, ds, verbose=False)
+    assert np.isfinite(res["train_loss"])
+
+    # invariance: garbage in padded region must not change logits
+    import jax, jax.numpy as jnp
+    params = trainer.params
+    b = next(ds.iter_batches(4))
+    logits1 = module.apply({"params": params}, b["tensors"], kv_masks=b["kv_masks"])
+    poked = list(b["tensors"])
+    wsi = np.array(poked[1])
+    mask = np.asarray(b["kv_masks"][1])
+    wsi[~np.broadcast_to(mask[:, :, None], wsi.shape)] = 999.0
+    poked[1] = wsi
+    logits2 = module.apply({"params": params}, tuple(poked), kv_masks=b["kv_masks"])
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2), rtol=1e-5)
