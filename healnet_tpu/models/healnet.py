@@ -565,3 +565,29 @@ class HealNet:
         from healnet_tpu.utils.train_utils import count_parameters
 
         return 0 if self.params is None else count_parameters(self.params)
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path) -> None:
+        """Durably save the wrapper's parameters (orbax)."""
+        from healnet_tpu.train.checkpoint import Checkpointer
+
+        assert self.params is not None, "no parameters to save (run a forward first)"
+        Checkpointer(path).save_best(self.params)
+
+    def load(self, path) -> "HealNet":
+        """Restore parameters saved with :meth:`save` (or a Pipeline best)."""
+        from healnet_tpu.train.checkpoint import Checkpointer
+
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray, Checkpointer(path).restore_best()
+        )
+        return self
+
+    def load_torch_state_dict(self, state_dict) -> "HealNet":
+        """Import weights from a reference (Torch) HealNet checkpoint."""
+        from healnet_tpu.compat import params_from_torch_state_dict
+
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray, params_from_torch_state_dict(state_dict, self.module)
+        )
+        return self

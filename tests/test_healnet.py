@@ -160,3 +160,39 @@ def test_per_sample_presence_functional(rng):
     img_zeroed = img.at[0].set(0.0)
     out_masked2 = module.apply({"params": params}, (tab, img_zeroed), presence=presence)
     np.testing.assert_allclose(out_masked[0], out_masked2[0], rtol=1e-6, atol=1e-6)
+
+
+def test_wrapper_save_load_roundtrip(tmp_path, rng):
+    tab = rng.normal(size=(B, T_C, T_D)).astype(np.float32)
+    m = HealNet(n_modalities=1, channel_dims=[T_D], num_spatial_axes=[1], out_dims=4, **SMALL_HP)
+    logits = np.asarray(m([tab]))
+    m.save(tmp_path / "wrapper_ckpt")
+
+    m2 = HealNet(n_modalities=1, channel_dims=[T_D], num_spatial_axes=[1], out_dims=4,
+                 seed=99, **SMALL_HP)
+    m2.load(tmp_path / "wrapper_ckpt")
+    np.testing.assert_allclose(np.asarray(m2([tab])), logits, rtol=1e-6)
+
+
+def test_wrapper_load_torch_state_dict(rng):
+    import importlib.util, sys, torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_hn_wrap", "/root/reference/healnet/models/healnet.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["ref_hn_wrap"] = ref
+    spec.loader.exec_module(ref)
+    torch.manual_seed(3)
+    tm = ref.HealNet(
+        n_modalities=1, channel_dims=[T_D], num_spatial_axes=[1], out_dims=4,
+        depth=2, l_c=8, l_d=16, x_heads=2, l_heads=2,
+        cross_dim_head=8, latent_dim_head=8,
+    )
+    tm.eval()
+    tab = rng.normal(size=(B, T_C, T_D)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tm([torch.tensor(tab)]).numpy()
+    m = HealNet(n_modalities=1, channel_dims=[T_D], num_spatial_axes=[1], out_dims=4, **SMALL_HP)
+    m.load_torch_state_dict(tm.state_dict())
+    np.testing.assert_allclose(np.asarray(m([tab])), ref_logits, rtol=1e-4, atol=1e-5)
