@@ -220,9 +220,13 @@ class TCGADataset(Dataset):
         return self.prep_path / "patch_features" / f"{slide_id}.npy"
 
     def _scan_max_patches(self) -> Optional[int]:
-        """Largest bag length across the dataset (reads only npy headers)."""
+        """Largest bag length across the dataset (reads only npy headers).
+
+        Also records per-slide bag sizes for length-bucketed batching.
+        """
         largest = 0
         base = self.prep_path / "patch_features"
+        self._bag_sizes: Dict[str, int] = {}
         for sid in self.slide_ids:
             npy = base / f"{sid}.npy"
             if not npy.exists():
@@ -230,8 +234,16 @@ class TCGADataset(Dataset):
             with open(npy, "rb") as f:
                 version = np.lib.format.read_magic(f)
                 shape, _, _ = np.lib.format._read_array_header(f, version)
+            self._bag_sizes[sid] = int(shape[0])
             largest = max(largest, shape[0])
         return largest or None
+
+    def bag_size(self, index: int) -> Optional[int]:
+        sizes = getattr(self, "_bag_sizes", None)
+        if not sizes:
+            return None
+        sid = self.omic_df.iloc[index]["slide_id"].rsplit(".", 1)[0]
+        return sizes.get(sid)
 
     def load_patch_features(self, slide_id: str) -> np.ndarray:
         """Raw per-slide patch features, (n_patches, feat_dim)."""
@@ -249,26 +261,32 @@ class TCGADataset(Dataset):
                 feats = torch.load(f, weights_only=True).numpy()
         return np.asarray(feats, dtype=np.float32)
 
-    def _slide_tensor(self, index: int) -> Tuple[np.ndarray, int]:
-        """(static-shape slide tensor, n_valid_patches) — ragged bags padded."""
-        cached = self._cache.get(index)
+    def _slide_tensor(self, index: int, pad_to: Optional[int] = None) -> Tuple[np.ndarray, int]:
+        """(static-shape slide tensor, n_valid_patches) — ragged bags padded.
+
+        pad_to overrides the global max (length-bucketed batching pads each
+        batch only to its bucket's boundary).
+        """
+        pad_to = pad_to if pad_to is not None else self.max_patches
+        key = (index, pad_to)
+        cached = self._cache.get(key)
         if cached is not None:
             return cached
         slide_id = self.omic_df.iloc[index]["slide_id"].rsplit(".", 1)[0]
         feats = self.load_patch_features(slide_id)  # (n_patches, dim)
         n_valid = feats.shape[0]
-        if self.max_patches is not None:
-            if n_valid > self.max_patches:
-                feats = feats[: self.max_patches]
-                n_valid = self.max_patches
-            elif n_valid < self.max_patches:
-                feats = np.pad(feats, ((0, self.max_patches - n_valid), (0, 0)))
+        if pad_to is not None:
+            if n_valid > pad_to:
+                feats = feats[:pad_to]
+                n_valid = pad_to
+            elif n_valid < pad_to:
+                feats = np.pad(feats, ((0, pad_to - n_valid), (0, 0)))
         if self.patch_attention:
             tensor = np.ascontiguousarray(feats)      # (tokens, channels)
         else:
             tensor = np.ascontiguousarray(feats.T)    # (dim, n_patches) parity
         entry = (tensor, n_valid)
-        self._cache.set(index, entry)
+        self._cache.set(key, entry)
         return entry
 
     # ------------------------------------------------------------- indexing
@@ -281,7 +299,7 @@ class TCGADataset(Dataset):
         tensors, censorship, event_time, y_disc, _ = self._sample(index)
         return tensors, censorship, event_time, y_disc
 
-    def _sample(self, index: int):
+    def _sample(self, index: int, pad_to: Optional[int] = None):
         """([tensors], censorship, event_time, y_disc, n_valid_patches|None)."""
         y_disc = self.y_disc[index]
         censorship = self.censorship[index]
@@ -291,13 +309,13 @@ class TCGADataset(Dataset):
             return [self.omic_tensor[index]], censorship, event_time, y_disc, None
 
         if self.sources == ["slides"]:
-            slide, n_valid = self._slide_tensor(index)
+            slide, n_valid = self._slide_tensor(index, pad_to)
             if self.model == "fcnn":
                 slide = slide.reshape(-1)
             return [slide], censorship, event_time, y_disc, n_valid
 
         omic = self.omic_tensor[index]
-        slide, n_valid = self._slide_tensor(index)
+        slide, n_valid = self._slide_tensor(index, pad_to)
         if self.concat:  # early fusion (`loaders.py:168-174`)
             concat = np.concatenate([omic.reshape(-1), slide.reshape(-1)])
             if self.model == "healnet_early":
@@ -313,11 +331,43 @@ class TCGADataset(Dataset):
         shuffle: bool = False,
         rng: Optional[np.random.Generator] = None,
         drop_remainder: bool = False,
+        bucket_boundaries: Optional[Sequence[int]] = None,
     ) -> Iterator[Dict[str, Any]]:
-        """Static-shape trainer batches (pad + mask), streaming from disk."""
+        """Static-shape trainer batches (pad + mask), streaming from disk.
+
+        bucket_boundaries (patch_attention only): length-bucketed batching —
+        samples are grouped by bag size and each batch pads only to its
+        bucket's boundary, cutting padded-token compute when bag sizes vary
+        widely. XLA compiles at most one program per boundary.
+        """
         idx = np.arange(len(self)) if indices is None else np.asarray(indices)
+        rng = rng or np.random.default_rng()
         if shuffle:
-            (rng or np.random.default_rng()).shuffle(idx)
+            rng.shuffle(idx)
+
+        if bucket_boundaries and self.patch_attention and getattr(self, "_bag_sizes", None):
+            boundaries = sorted(set(int(b) for b in bucket_boundaries))
+            if self.max_patches is not None and (
+                not boundaries or boundaries[-1] < self.max_patches
+            ):
+                boundaries.append(self.max_patches)
+            buckets: Dict[int, List[int]] = {b: [] for b in boundaries}
+            for i in idx:
+                size = self.bag_size(int(i)) or boundaries[-1]
+                boundary = next(b for b in boundaries if size <= b)
+                buckets[boundary].append(int(i))
+            chunks = []
+            for boundary, members in buckets.items():
+                for start in range(0, len(members), batch_size):
+                    chunks.append((boundary, members[start : start + batch_size]))
+            if shuffle:
+                rng.shuffle(chunks)
+            for boundary, sel in chunks:
+                if drop_remainder and len(sel) < batch_size:
+                    continue
+                yield self._build_batch(np.asarray(sel), batch_size, pad_to=boundary)
+            return
+
         uses_slides = "slides" in self.sources
         for start in range(0, len(idx), batch_size):
             sel = idx[start : start + batch_size]
@@ -335,31 +385,36 @@ class TCGADataset(Dataset):
                 paths = [p for p in paths if p.exists()]
                 if paths:
                     self._native.prefetch(paths)
-            pad = batch_size - sel.shape[0]
-            mask = np.ones(batch_size, dtype=np.float32)
-            if pad > 0:
-                sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
-                mask[batch_size - pad :] = 0.0
-            samples = [self._sample(int(i)) for i in sel]
-            n_mod = len(samples[0][0])
-            batch = {
-                "tensors": tuple(
-                    np.stack([s[0][m] for s in samples]) for m in range(n_mod)
-                ),
-                "censorship": np.asarray([s[1] for s in samples], np.float32),
-                "event_time": np.asarray([s[2] for s in samples], np.float32),
-                "y_disc": np.asarray([s[3] for s in samples], np.int32),
-                "sample_mask": mask,
-            }
-            if self.patch_attention and samples[0][4] is not None:
-                # ragged bags: per-sample token masks over the patch axis
-                n_valid = np.asarray([s[4] for s in samples])
-                token_ids = np.arange(self.max_patches)[None, :]
-                patch_mask = token_ids < n_valid[:, None]
-                kv_masks = [None] * n_mod
-                kv_masks[-1] = patch_mask
-                batch["kv_masks"] = tuple(kv_masks)
-            yield batch
+            yield self._build_batch(sel, batch_size, pad_to=None)
+
+    def _build_batch(
+        self, sel: np.ndarray, batch_size: int, pad_to: Optional[int]
+    ) -> Dict[str, Any]:
+        pad = batch_size - sel.shape[0]
+        mask = np.ones(batch_size, dtype=np.float32)
+        if pad > 0:
+            sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
+            mask[batch_size - pad :] = 0.0
+        samples = [self._sample(int(i), pad_to=pad_to) for i in sel]
+        n_mod = len(samples[0][0])
+        batch = {
+            "tensors": tuple(
+                np.stack([s[0][m] for s in samples]) for m in range(n_mod)
+            ),
+            "censorship": np.asarray([s[1] for s in samples], np.float32),
+            "event_time": np.asarray([s[2] for s in samples], np.float32),
+            "y_disc": np.asarray([s[3] for s in samples], np.int32),
+            "sample_mask": mask,
+        }
+        if self.patch_attention and samples[0][4] is not None:
+            # ragged bags: per-sample token masks over the patch axis
+            width = pad_to if pad_to is not None else self.max_patches
+            n_valid = np.asarray([s[4] for s in samples])
+            patch_mask = np.arange(width)[None, :] < n_valid[:, None]
+            kv_masks = [None] * n_mod
+            kv_masks[-1] = patch_mask
+            batch["kv_masks"] = tuple(kv_masks)
+        return batch
 
     def materialize(self, indices: Optional[np.ndarray] = None) -> Dict[str, Any]:
         """Whole-split arrays for in-memory training (small datasets only)."""

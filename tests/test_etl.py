@@ -301,3 +301,28 @@ def test_ragged_bags_patch_attention_layout(ragged_tcga_root):
     poked[1] = wsi
     logits2 = module.apply({"params": params}, tuple(poked), kv_masks=b["kv_masks"])
     np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2), rtol=1e-5)
+
+
+def test_bucketed_batching(ragged_tcga_root):
+    """Length-bucketed batches pad only to their bucket boundary."""
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    batches = list(
+        ds.iter_batches(batch_size=4, bucket_boundaries=[3, 6], shuffle=True,
+                        rng=np.random.default_rng(0))
+    )
+    # every sample appears exactly once
+    total_valid = sum(int(b["sample_mask"].sum()) for b in batches)
+    assert total_valid == len(counts)
+    widths = {b["tensors"][1].shape[1] for b in batches}
+    assert widths <= {3, 6}
+    for b in batches:
+        width = b["tensors"][1].shape[1]
+        mask = b["kv_masks"][1]
+        assert mask.shape[1] == width
+        # all samples in a bucket fit its boundary
+        assert (mask.sum(1) <= width).all()
+    # small-bag bucket actually used (padding waste reduced)
+    assert 3 in widths
