@@ -8,6 +8,7 @@ from healnet_tpu.utils.train_utils import (
     l1_norm,
 )
 from healnet_tpu.utils.tracking import Tracker, wandb_available
+from healnet_tpu.utils.profiling import StepTimer, enable_compilation_cache, trace
 
 __all__ = [
     "Box",
@@ -22,4 +23,7 @@ __all__ = [
     "l1_norm",
     "Tracker",
     "wandb_available",
+    "StepTimer",
+    "enable_compilation_cache",
+    "trace",
 ]

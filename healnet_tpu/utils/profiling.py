@@ -21,6 +21,19 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 
+def enable_compilation_cache(
+    directory: str = "/tmp/healnet_tpu_jax_cache", min_compile_secs: float = 0.5
+) -> None:
+    """Persist compiled executables across processes (big win for the
+    compile-dominated quickstart: first-run compiles of WSI-scale graphs take
+    minutes; cached reruns are near-instant)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax-trace", create_perfetto_link: bool = False):
     """Profile the enclosed block with the JAX profiler (TensorBoard format)."""
