@@ -173,3 +173,10 @@ def test_sweep_csv_export(tmp_path):
     sweep.run(lambda p: {"score": p["a"]}, csv_path=tmp_path / "sweep.csv")
     df = pd.read_csv(tmp_path / "sweep.csv")
     assert len(df) == 2 and "param.a" in df.columns
+
+
+def test_pipeline_spmd_mesh(tcga_tree, tmp_path):
+    """spmd: true shards the trainer over all (8 virtual) devices."""
+    cfg = _config(tcga_tree, tmp_path, spmd=True)
+    summary = Pipeline(config=cfg).main()
+    assert np.isfinite(summary["mean_test_c_index"])
