@@ -15,7 +15,6 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 from pathlib import Path

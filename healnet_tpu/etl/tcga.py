@@ -26,7 +26,6 @@ stack designed to feed a TPU input pipeline:
 from __future__ import annotations
 
 import os
-import zipfile
 from collections import OrderedDict
 from pathlib import Path
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple

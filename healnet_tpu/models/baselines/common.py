@@ -20,7 +20,7 @@ Flax counterparts of the torch blocks the baselines are assembled from
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

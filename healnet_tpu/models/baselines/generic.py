@@ -12,14 +12,13 @@ Flax counterparts of `/root/reference/healnet/baselines/generic.py:10-79`:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from healnet_tpu.models.layers import torch_dense
-from healnet_tpu.utils.train_utils import l1_norm
 
 
 def _first_flat(tensors) -> jnp.ndarray:

@@ -24,7 +24,7 @@ presence=None, deterministic=...) -> logits`` with ``tensors`` =
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -25,11 +25,10 @@ matrix history utility is reproduced in :class:`MultiModNHistory`.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from healnet_tpu.models.layers import torch_dense

@@ -18,8 +18,7 @@ yields usable bag-of-patch representations for smoke pipelines).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

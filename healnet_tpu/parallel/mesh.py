@@ -17,7 +17,7 @@ MoE (SURVEY.md §2.6 — "not required").
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np

@@ -18,12 +18,11 @@ testable on the virtual CPU mesh; XLA lowers the psums onto ICI on real pods.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from healnet_tpu.ops.activations import mask_value

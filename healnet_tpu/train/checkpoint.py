@@ -13,8 +13,6 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional, Union
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -25,7 +25,7 @@ TPU-native counterpart of the reference train/eval loops
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,7 +118,6 @@ class SurvivalTrainer:
         tracker=None,
         reg_topo: str = "healnet",
         sources: Optional[List[str]] = None,
-        device_sharding=None,
         aux_loss: bool = False,
         n_bins: Optional[int] = None,
         checkpoint_dir=None,
@@ -159,7 +158,6 @@ class SurvivalTrainer:
         self.tracker = tracker
         self.reg_topo = reg_topo
         self.sources = sources
-        self.device_sharding = device_sharding
         self.aux_loss = aux_loss
         self.n_bins = n_bins
         self.checkpoint_dir = checkpoint_dir
@@ -274,7 +272,11 @@ class SurvivalTrainer:
                 grads, (surv_loss, risk) = loss_and_grads(params, batch, rng)
             else:
                 # split the batch into micro-batches and scan: grads are
-                # averaged, activations live one micro-batch at a time
+                # averaged, activations live one micro-batch at a time.
+                # note: micro-batches are weighted equally, so a padded final
+                # batch skews the average slightly vs the full-batch mean
+                # (exact when batch_size % accum_steps == 0 with no padding);
+                # Cox risk sets are also per-micro-batch by construction
                 a = self.accum_steps
 
                 def split(x):

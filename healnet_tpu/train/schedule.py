@@ -11,7 +11,6 @@ the identical LR shape; beta1 cycling is reproduced with
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax.numpy as jnp

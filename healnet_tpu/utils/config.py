@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import getpass
 import os
-from typing import Optional, Union
+from typing import Optional
 
 import yaml
 

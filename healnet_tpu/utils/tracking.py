@@ -12,7 +12,6 @@ the TPU image, so this module provides a uniform `Tracker` facade:
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from pathlib import Path
