@@ -114,15 +114,19 @@ def bench_jax() -> float:
 
     p, s, loss = loop(params, opt_state, batch, WARMUP)
     float(loss)  # force completion
-    t0 = time.perf_counter()
-    _, _, loss = loop(p, s, batch, 1)
-    float(loss)
-    base = time.perf_counter() - t0  # 1 step + dispatch/readback overhead
-    t0 = time.perf_counter()
-    _, _, loss = loop(p, s, batch, 1 + ITERS)
-    float(loss)
-    dt = (time.perf_counter() - t0) - base
-    return BATCH * ITERS / dt
+    # best-of-3: tunnel latency through the axon relay is noisy; the fastest
+    # repetition is the closest estimate of on-chip step time
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, _, loss = loop(p, s, batch, 1)
+        float(loss)
+        base = time.perf_counter() - t0  # 1 step + dispatch/readback overhead
+        t0 = time.perf_counter()
+        _, _, loss = loop(p, s, batch, 1 + ITERS)
+        float(loss)
+        best_dt = min(best_dt, (time.perf_counter() - t0) - base)
+    return BATCH * ITERS / best_dt
 
 
 def bench_torch_reference() -> float:
