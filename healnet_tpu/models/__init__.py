@@ -5,6 +5,9 @@ from healnet_tpu.models.layers import (
     PreNormAttention,
     PreNormFeedForward,
 )
+# reference `healnet.models` export surface (`healnet/models/__init__.py:1-11`)
+from healnet_tpu.train.losses import CoxPHSurvLoss, CrossEntropySurvLoss
+from healnet_tpu.models.baselines.generic import FCNN
 
 __all__ = [
     "HealNet",
@@ -14,4 +17,7 @@ __all__ = [
     "FeedForward",
     "PreNormAttention",
     "PreNormFeedForward",
+    "CoxPHSurvLoss",
+    "CrossEntropySurvLoss",
+    "FCNN",
 ]

@@ -68,3 +68,17 @@ def test_predictor_from_checkpoint(module_and_params, tmp_path, rng):
     direct = Predictor(module, params, batch_size=4)([omic, wsi])
     loaded = predictor([omic, wsi])
     np.testing.assert_allclose(loaded["logits"], direct["logits"], rtol=1e-6)
+
+
+def test_predictor_bf16_compute(module_and_params, rng):
+    import jax.numpy as jnp
+
+    module, params = module_and_params
+    fp32 = Predictor(module, params, batch_size=4)
+    bf16 = Predictor(module, params, batch_size=4, compute_dtype=jnp.bfloat16)
+    omic = rng.normal(size=(4, 1, 12)).astype(np.float32)
+    wsi = rng.normal(size=(4, 5, 6)).astype(np.float32)
+    out32 = fp32([omic, wsi])
+    out16 = bf16([omic, wsi])
+    assert out16["logits"].dtype == np.float32  # outputs stay fp32
+    np.testing.assert_allclose(out16["logits"], out32["logits"], rtol=0.05, atol=0.05)
