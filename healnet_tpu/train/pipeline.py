@@ -65,6 +65,11 @@ class Pipeline:
         self.sources = list(self.config["sources"])
         self.local_run_id = datetime.now().strftime("%d-%m-%Y_%H-%M-%S")
 
+        if self.config.get("compilation_cache", True):
+            from healnet_tpu.utils.profiling import enable_compilation_cache
+
+            enable_compilation_cache()  # WSI-scale graphs compile for minutes
+
         self.tracker = Tracker(
             project="healnet_tpu",
             name=wandb_name,
