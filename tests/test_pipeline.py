@@ -180,3 +180,29 @@ def test_pipeline_spmd_mesh(tcga_tree, tmp_path):
     cfg = _config(tcga_tree, tmp_path, spmd=True)
     summary = Pipeline(config=cfg).main()
     assert np.isfinite(summary["mean_test_c_index"])
+
+
+def test_cli_run_plan_mode(tcga_tree, tmp_path, monkeypatch):
+    """run_plan fans out datasets x sources x models with exception skipping."""
+    import yaml
+
+    from healnet_tpu.cli import main as cli
+
+    cfgdir = tmp_path / "config"
+    cfgdir.mkdir()
+    main_cfg = _config(tcga_tree, tmp_path).to_dict()
+    main_cfg["hyperparams"] = str(cfgdir / "hp.yml")
+    del main_cfg["model_params"]
+    hp = _config(tcga_tree, tmp_path)["model_params"].to_dict()
+    (cfgdir / "main.yml").write_text(yaml.safe_dump(main_cfg))
+    (cfgdir / "hp.yml").write_text(yaml.safe_dump({"brca": hp}))
+
+    monkeypatch.chdir(tmp_path)
+    cli.main(["--config_path", str(cfgdir / "main.yml"), "--mode", "run_plan",
+              "--dataset", "brca"])
+    # 5-fold run plan produced a run log with cross-fold aggregates
+    import json
+    logs = list((tmp_path / "logs").glob("*/summary.json"))
+    assert logs, "run_plan produced no run summary"
+    summary = json.loads(logs[-1].read_text())
+    assert "mean_test_c_index" in summary
