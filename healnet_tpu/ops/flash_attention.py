@@ -83,9 +83,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr, acc
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[...].astype(jnp.float32)          # (G, lq, d)
-    k = k_ref[...].astype(jnp.float32)          # (G, C, d)
-    v = v_ref[...].astype(jnp.float32)          # (G, C, d)
+    # keep q/k/v in their input dtype: the MXU accumulates bf16 x bf16 in f32
+    # natively (preferred_element_type); explicit per-chunk astype(f32) costs
+    # a VPU conversion pass over every KV element
+    q = q_ref[...]                              # (G, lq, d)
+    k = k_ref[...]                              # (G, C, d)
+    v = v_ref[...]                              # (G, C, d)
     mask = mask_ref[...]                        # (G, 1, C) float: 1 keep
 
     s = jax.lax.dot_general(q, k, _BATCH_DN(), preferred_element_type=jnp.float32)
@@ -97,11 +100,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr, acc
     m_new = jnp.maximum(m_prev, m_cur)
     # multiply by the mask so a fully-masked chunk contributes exactly zero
     # (exp(s - m) would be 1 when every key is masked and m == s == -1e30)
-    p = jnp.exp(s - m_new) * mask               # (G, lq, C)
+    p = jnp.exp(s - m_new) * mask               # (G, lq, C) f32
     correction = jnp.exp(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=2, keepdims=True)
+    # probabilities cast to the value dtype for the second matmul (standard
+    # flash practice; exact for f32 inputs, bf16-rounded otherwise)
     acc_scr[...] = acc_scr[...] * correction + jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -172,10 +178,10 @@ def _bwd_kernel(
     def _():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[...].astype(jnp.float32)           # (G, lq, d)
-    k = k_ref[...].astype(jnp.float32)           # (G, C, d)
-    v = v_ref[...].astype(jnp.float32)           # (G, C, d)
-    do = do_ref[...].astype(jnp.float32)         # (G, lq, d)
+    q = q_ref[...]                               # (G, lq, d) input dtype
+    k = k_ref[...]                               # (G, C, d)
+    v = v_ref[...]                               # (G, C, d)
+    do = do_ref[...]                             # (G, lq, d)
     # keep everything slice/transpose-based: integer indexing lowers to
     # gathers Mosaic does not support beyond 2D
     lse_row = jnp.swapaxes(lse_ref[...][:, :, 0:1], 1, 2)      # (G, 1, lq)
@@ -189,21 +195,24 @@ def _bwd_kernel(
 
     # dv_chunk = p^T @ do : (G, C, lq) x (G, lq, d) — canonical batched matmul
     dv_ref[...] = jax.lax.dot_general(
-        p_t, do, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p_t.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
     # dp_T = v do^T : (G, C, lq); ds_T = p_T * (dp_T - delta)
     dp_t = jax.lax.dot_general(v, do, _BATCH_DN(), preferred_element_type=jnp.float32)
-    ds_t = p_t * (dp_t - delta_row)                       # (G, C, lq)
+    ds_t = p_t * (dp_t - delta_row)                       # (G, C, lq) f32
+    ds_cast = ds_t.astype(q.dtype)
     # dk_chunk = ds^T @ q : (G, C, lq) x (G, lq, d) — canonical
     dk_ref[...] = (
         jax.lax.dot_general(
-            ds_t, q, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ds_cast, q, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         * scale
     ).astype(dk_ref.dtype)
     # dq += ds @ k = ds_T^T @ k : contract over C (dim 1 of both)
     dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
-        ds_t, k, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ds_cast, k, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
 
     @pl.when(j == n_chunks - 1)
