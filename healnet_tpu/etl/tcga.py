@@ -195,9 +195,12 @@ class TCGADataset(Dataset):
         df = df.fillna(df.mean(numeric_only=True))
 
         if self.filter_overlap and "slide_id" in df.columns:
-            slides_available = set(self.slide_ids)
-            omic_available = {sid[:-4] for sid in df["slide_id"]}
-            overlap = slides_available & omic_available
+            # row-count comparison like the reference (`loaders.py:311-323`):
+            # omic_available is the LIST of rows, not a deduped set — duplicate
+            # slide_ids in the omics table count as rows to filter
+            slides_available = self.slide_ids
+            omic_available = [sid[:-4] for sid in df["slide_id"]]
+            overlap = set(slides_available) & set(omic_available)
             if len(slides_available) < len(omic_available):
                 keep = {sid + ".svs" for sid in overlap}
                 df = df[df["slide_id"].isin(keep)]
@@ -232,7 +235,12 @@ class TCGADataset(Dataset):
                 return None  # .pt-only layout: reference pads offline
             with open(npy, "rb") as f:
                 version = np.lib.format.read_magic(f)
-                shape, _, _ = np.lib.format._read_array_header(f, version)
+                reader = (
+                    np.lib.format.read_array_header_1_0
+                    if version == (1, 0)
+                    else np.lib.format.read_array_header_2_0
+                )
+                shape, _, _ = reader(f)
             self._bag_sizes[sid] = int(shape[0])
             largest = max(largest, shape[0])
         return largest or None
@@ -264,15 +272,17 @@ class TCGADataset(Dataset):
         """(static-shape slide tensor, n_valid_patches) — ragged bags padded.
 
         pad_to overrides the global max (length-bucketed batching pads each
-        batch only to its bucket's boundary).
+        batch only to its bucket's boundary). The LRU caches the RAW features
+        keyed by index only — padding/transposing is a cheap memset per emit,
+        while caching padded copies would multiply host RAM by the padding
+        ratio and duplicate slides across bucket widths.
         """
         pad_to = pad_to if pad_to is not None else self.max_patches
-        key = (index, pad_to)
-        cached = self._cache.get(key)
-        if cached is not None:
-            return cached
-        slide_id = self.omic_df.iloc[index]["slide_id"].rsplit(".", 1)[0]
-        feats = self.load_patch_features(slide_id)  # (n_patches, dim)
+        feats = self._cache.get(index)
+        if feats is None:
+            slide_id = self.omic_df.iloc[index]["slide_id"].rsplit(".", 1)[0]
+            feats = self.load_patch_features(slide_id)  # (n_patches, dim)
+            self._cache.set(index, feats)
         n_valid = feats.shape[0]
         if pad_to is not None:
             if n_valid > pad_to:
@@ -284,9 +294,7 @@ class TCGADataset(Dataset):
             tensor = np.ascontiguousarray(feats)      # (tokens, channels)
         else:
             tensor = np.ascontiguousarray(feats.T)    # (dim, n_patches) parity
-        entry = (tensor, n_valid)
-        self._cache.set(key, entry)
-        return entry
+        return tensor, n_valid
 
     # ------------------------------------------------------------- indexing
     def __len__(self) -> int:
@@ -339,7 +347,9 @@ class TCGADataset(Dataset):
         bucket's boundary, cutting padded-token compute when bag sizes vary
         widely. XLA compiles at most one program per boundary.
         """
-        idx = np.arange(len(self)) if indices is None else np.asarray(indices)
+        # copy: shuffling must never mutate the caller's indices in place
+        # (DatasetView passes its own .indices array here)
+        idx = np.arange(len(self)) if indices is None else np.array(indices)
         rng = rng or np.random.default_rng()
         if shuffle:
             rng.shuffle(idx)
@@ -353,7 +363,11 @@ class TCGADataset(Dataset):
             buckets: Dict[int, List[int]] = {b: [] for b in boundaries}
             for i in idx:
                 size = self.bag_size(int(i)) or boundaries[-1]
-                boundary = next(b for b in boundaries if size <= b)
+                # oversize bags land in the largest bucket (and are truncated
+                # to it by _slide_tensor), never StopIteration
+                boundary = next(
+                    (b for b in boundaries if size <= b), boundaries[-1]
+                )
                 buckets[boundary].append(int(i))
             chunks = []
             for boundary, members in buckets.items():

@@ -340,7 +340,13 @@ def flash_cross_attention(
 
     if bwd_kv_chunk is None:
         bwd_kv_chunk = min(chunk, 1024)
-    bwd_chunk = min(bwd_kv_chunk, chunk)
+    # the backward grid covers lkv_p in bwd_chunk steps: the chunk MUST divide
+    # lkv_p or trailing dk/dv blocks would silently stay uninitialized
+    bwd_chunk = chunk  # chunk always divides lkv_p
+    for candidate in (bwd_kv_chunk, chunk // 2, 1024, 512, 256, 128):
+        if candidate and candidate <= min(bwd_kv_chunk, chunk) and lkv_p % candidate == 0:
+            bwd_chunk = candidate
+            break
 
     out = _flash(qf, kf, vf, mask, eff_scale, chunk, bwd_chunk, interpret)
     out = out.reshape(b, h, lq_p, d)[:, :, :lq, :]

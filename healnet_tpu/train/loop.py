@@ -200,7 +200,8 @@ class SurvivalTrainer:
             )
         else:  # cox
             loss = CoxPHSurvLoss()(
-                hazards, survival, batch["censorship"], event_time=batch["event_time"]
+                hazards, survival, batch["censorship"],
+                event_time=batch["event_time"], sample_weights=sw,
             )
         return loss, risk
 
@@ -400,13 +401,21 @@ class SurvivalTrainer:
                 masks.append(batch["sample_mask"])
 
             mask = np.concatenate(masks) > 0
-            train_loss = float(np.mean([np.asarray(l) for l in losses]))
-            train_c = concordance_index_censored(
-                (1 - np.concatenate(cens)[mask]).astype(bool),
-                np.concatenate(times)[mask],
-                np.concatenate(risks)[mask],
-                tied_tol=1e-8,
-            )[0]
+            # weight each batch's (per-valid-row mean) loss by its valid count
+            # so a padded trailing batch doesn't get outsized weight
+            valid = np.asarray([m.sum() for m in masks])
+            batch_losses = np.asarray([np.asarray(l) for l in losses])
+            train_loss = float((batch_losses * valid).sum() / valid.sum())
+            try:
+                train_c = concordance_index_censored(
+                    (1 - np.concatenate(cens)[mask]).astype(bool),
+                    np.concatenate(times)[mask],
+                    np.concatenate(risks)[mask],
+                    tied_tol=1e-8,
+                )[0]
+            except ValueError as exc:
+                print(f"train c-index undefined this epoch: {exc}")
+                train_c = float("nan")
 
             val_loss, val_c = self.evaluate(val_data)
             history.append(
@@ -509,4 +518,6 @@ class SurvivalTrainer:
             # fold (the reference would crash inside sksurv here)
             print(f"c-index undefined for this split: {exc}")
             c_index = float("nan")
-        return float(np.mean(losses)), c_index
+        valid = np.asarray([m.sum() for m in masks])
+        weighted_loss = float((np.asarray(losses) * valid).sum() / valid.sum())
+        return weighted_loss, c_index

@@ -205,11 +205,16 @@ class CoxPHSurvLoss:
     broken implementation.
     """
 
-    def __call__(self, hazards, survival, censorship, event_time=None, **_):
+    def __call__(
+        self, hazards, survival, censorship, event_time=None,
+        sample_weights=None, **_,
+    ):
         total_survival = jnp.sum(survival, axis=1)
         theta = -total_survival
         order_values = event_time if event_time is not None else total_survival
-        return cox_ph_loss(theta, order_values, censorship)
+        return cox_ph_loss(
+            theta, order_values, censorship, sample_weights=sample_weights
+        )
 
 
 def survival_loss(

@@ -326,3 +326,13 @@ def test_bucketed_batching(ragged_tcga_root):
         assert (mask.sum(1) <= width).all()
     # small-bag bucket actually used (padding waste reduced)
     assert 3 in widths
+
+
+def test_view_indices_not_mutated_by_shuffle(tcga_root):
+    ds = TCGADataset("brca", _config(tcga_root), n_bins=4)
+    order = np.arange(10)
+    view = ds.take(order)
+    before = view.indices.copy()
+    list(view.iter_batches(4, shuffle=True, rng=np.random.default_rng(0)))
+    np.testing.assert_array_equal(view.indices, before)
+    np.testing.assert_array_equal(order, before)

@@ -168,3 +168,22 @@ def test_sample_weight_masking(rng):
         )
     )
     np.testing.assert_allclose(masked, full, rtol=1e-6)
+
+
+def test_cox_loss_padded_rows_masked(rng):
+    """Padded duplicate rows with mask 0 must not enter risk sets or events."""
+    b = 6
+    theta = rng.normal(size=b).astype(np.float32)
+    times = rng.uniform(1, 100, size=b).astype(np.float32)
+    c = rng.integers(0, 2, size=b).astype(np.float32)
+    base = float(cox_ph_loss(jnp.asarray(theta), jnp.asarray(times), jnp.asarray(c)))
+    # pad with 2 duplicates of the last row, masked out
+    pad = lambda x: np.concatenate([x, np.repeat(x[-1:], 2)])
+    mask = np.array([1, 1, 1, 1, 1, 1, 0, 0], np.float32)
+    padded = float(
+        cox_ph_loss(
+            jnp.asarray(pad(theta)), jnp.asarray(pad(times)), jnp.asarray(pad(c)),
+            sample_weights=jnp.asarray(mask),
+        )
+    )
+    np.testing.assert_allclose(padded, base, rtol=1e-6)
