@@ -46,15 +46,28 @@ def make_mesh(
     devices: Optional[Sequence] = None,
     max_model: int = 2,
     max_seq: int = 2,
+    require: bool = False,
 ) -> Mesh:
     """Build a (data, seq, model) mesh over the available devices.
 
     On a v5e-8 this defaults to data=2, seq=2, model=2; with 1 device all axes
     are 1 and every sharding degenerates to single-chip (no code changes).
+
+    With ``require=True`` the mesh MUST have exactly ``n_devices`` devices;
+    fewer available devices raise instead of silently degenerating (a 1-device
+    mesh otherwise passes every downstream "multichip" check vacuously).
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if require and len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh(require=True): asked for {n_devices} devices but only "
+                f"{len(devices)} exist ({[d.platform for d in devices[:4]]}...). "
+                "Force more virtual devices via "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N before "
+                "backend init, or drop `require`."
+            )
         devices = devices[:n_devices]
     n = len(devices)
     data, seq, model = _factor(n, max_model=max_model, max_seq=max_seq)
