@@ -130,8 +130,17 @@ class FeatureCache {
       Tensor t;
       if (!load_npy(path, &t)) return -1;
       lock.lock();
-      insert_locked(path, std::move(t));
+      // A prefetch worker may have inserted this path while we loaded
+      // unlocked; inserting again would leave a stale duplicate lru_ node
+      // and double-count bytes_ (eviction of the stale node then
+      // dereferences entries_.end()). Re-check before inserting.
       it = entries_.find(path);
+      if (it == entries_.end()) {
+        insert_locked(path, std::move(t));
+        it = entries_.find(path);
+      } else {
+        touch_locked(it);
+      }
     } else {
       touch_locked(it);
       hits_++;

@@ -72,6 +72,13 @@ def multihead_attention(
         (output ``(b, lq, h * d)``, attention weights ``(b, h, lq, lkv)`` or None).
     """
     attn = attention_scores(q, k, scale, temperature=temperature, kv_mask=kv_mask)
+    if kv_mask is not None:
+        # All-keys-masked convention: output ZERO, not the uniform-softmax mean
+        # of values (which a -1e30 fill would yield, and which the reference's
+        # NaN propagation makes moot). This matches the flash kernel, so
+        # attention_impl='auto' cannot change model outputs for empty bags.
+        valid = jnp.any(kv_mask, axis=-1)[:, None, None, None]  # (b, 1, 1, 1)
+        attn = attn * valid
     weights = attn if return_weights else None
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)

@@ -518,6 +518,14 @@ class SurvivalTrainer:
             # fold (the reference would crash inside sksurv here)
             print(f"c-index undefined for this split: {exc}")
             c_index = float("nan")
-        valid = np.asarray([m.sum() for m in masks])
-        weighted_loss = float((np.asarray(losses) * valid).sum() / valid.sum())
+        if self.loss_type == "cox":
+            # cox_ph_loss normalizes by the batch's EVENT count, so the correct
+            # aggregation weight is events-per-batch, not valid-row count
+            valid = np.asarray(
+                [((1.0 - c) * m).sum() for c, m in zip(cens, masks)]
+            )
+        else:
+            valid = np.asarray([m.sum() for m in masks])
+        denom = max(float(valid.sum()), 1.0)
+        weighted_loss = float((np.asarray(losses) * valid).sum() / denom)
         return weighted_loss, c_index

@@ -161,7 +161,12 @@ class Sweep:
             score = self._score(metrics)
             record = {"params": params, "metrics": metrics, "score": score}
             self.trials.append(record)
-            if best is None or (np.isfinite(score) and score > best["score"]):
+            # a non-finite incumbent (e.g. NaN first trial) is always replaceable
+            if (
+                best is None
+                or not np.isfinite(best["score"])
+                or (np.isfinite(score) and score > best["score"])
+            ):
                 best = record
             if csv_path is not None:
                 self.save_csv(csv_path)

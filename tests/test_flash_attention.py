@@ -46,6 +46,22 @@ def test_fully_masked_rows_finite(rng):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_fully_masked_rows_agree_across_impls(rng):
+    # ADVICE r1: both paths must output ZERO for an empty patch bag so that
+    # attention_impl='auto' cannot silently change model outputs
+    q, k, v = _qkv(rng, b=2, h=2, lkv=256)
+    mask = jnp.zeros((2, 256), bool)
+    ref, w = multihead_attention(
+        q, k, v, scale=0.2, temperature=0.5, kv_mask=mask, return_weights=True
+    )
+    out = flash_cross_attention(
+        q, k, v, scale=0.2, temperature=0.5, kv_mask=mask, kv_chunk=128
+    )
+    np.testing.assert_allclose(np.asarray(ref), 0.0)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+    np.testing.assert_allclose(np.asarray(w), 0.0)
+
+
 def test_gradient_parity(rng):
     q, k, v = _qkv(rng, b=1, h=2, lq=16, lkv=320, d=64)
     mask = jnp.asarray(rng.uniform(size=(1, 320)) > 0.3)
