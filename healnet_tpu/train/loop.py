@@ -206,12 +206,19 @@ class SurvivalTrainer:
         return loss, risk
 
     def _place(self, batch):
-        """Host batch -> device(s): mesh shardings when SPMD, else as-is."""
-        if self.mesh is None:
-            return batch
-        from healnet_tpu.parallel.train import put_batch
+        """Host batch -> device(s).
 
-        return put_batch(batch, self.mesh)
+        With a mesh, route through :func:`global_batch_from_host_local` so
+        multi-process hosts each contribute their local slice (degenerates to
+        ``put_batch`` at process_count == 1). Single-chip, an explicit async
+        ``device_put`` lets the prefetcher overlap H2D with compute instead of
+        paying the transfer inside the jitted call.
+        """
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jax.device_put, batch)
+        from healnet_tpu.parallel.data import global_batch_from_host_local
+
+        return global_batch_from_host_local(batch, self.mesh)
 
     def _reg_skip(self) -> bool:
         # reference gating (`train_utils.py:5-14`)
@@ -385,20 +392,38 @@ class SurvivalTrainer:
             batches = iterate_batches(
                 train_data, self.batch_size, shuffle=True, rng=np_rng
             )
-            if self.prefetch > 0:
-                from healnet_tpu.etl.prefetch import BackgroundIterator
 
-                batches = BackgroundIterator(batches, buffer_size=self.prefetch)
-            for batch in batches:
+            # keep the small host-side survival metadata out of the device
+            # pytree consumers: the c-index is computed host-side per epoch
+            def _put(host_batch):
+                meta = {
+                    k: host_batch[k]
+                    for k in ("censorship", "event_time", "sample_mask")
+                }
+                return self._place(host_batch), meta
+
+            if self.prefetch > 0:
+                # background decode thread + double-buffered async H2D: the
+                # next batch's transfer overlaps the current step's compute
+                # (replaces the reference's synchronous per-batch `.to(device)`,
+                # main.py:214-240)
+                from healnet_tpu.etl.prefetch import DevicePrefetcher
+
+                placed = DevicePrefetcher(
+                    batches, depth=2, put_fn=_put, buffer_size=self.prefetch
+                )
+            else:
+                placed = (_put(b) for b in batches)
+            for device_batch, meta in placed:
                 rng, step_rng = jax.random.split(rng)
                 self.params, self.opt_state, loss, risk = self._train_step(
-                    self.params, self.opt_state, self._place(batch), step_rng
+                    self.params, self.opt_state, device_batch, step_rng
                 )
                 losses.append(loss)
                 risks.append(np.asarray(risk))
-                cens.append(batch["censorship"])
-                times.append(batch["event_time"])
-                masks.append(batch["sample_mask"])
+                cens.append(meta["censorship"])
+                times.append(meta["event_time"])
+                masks.append(meta["sample_mask"])
 
             mask = np.concatenate(masks) > 0
             # weight each batch's (per-valid-row mean) loss by its valid count

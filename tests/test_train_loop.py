@@ -81,6 +81,25 @@ def test_trainer_reduces_loss_and_learns():
     assert np.isfinite(res["val_c_index"])
 
 
+def test_trainer_prefetch_matches_synchronous():
+    # the DevicePrefetcher path (async double-buffered H2D) must be a pure
+    # throughput optimization: identical losses to the synchronous path
+    train = _synthetic_survival(n=32, seed=0)
+    val = _synthetic_survival(n=16, seed=1)
+
+    def run(prefetch):
+        trainer = SurvivalTrainer(
+            _module(), batch_size=8, epochs=2, early_stopping=False,
+            seed=0, prefetch=prefetch,
+        )
+        return trainer.fit(train, val, verbose=False)["history"]
+
+    h_pre, h_sync = run(2), run(0)
+    for a, b in zip(h_pre, h_sync):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-6)
+        assert a["val_loss"] == pytest.approx(b["val_loss"], rel=1e-6)
+
+
 def test_trainer_early_stopping_restores_best():
     train = _synthetic_survival(n=32, seed=0)
     val = _synthetic_survival(n=16, seed=1)
