@@ -336,3 +336,24 @@ def test_view_indices_not_mutated_by_shuffle(tcga_root):
     list(view.iter_batches(4, shuffle=True, rng=np.random.default_rng(0)))
     np.testing.assert_array_equal(view.indices, before)
     np.testing.assert_array_equal(order, before)
+
+
+def test_shipped_gdc_manifests_parse_and_filter():
+    # the repo ships the GDC manifests the download CLI reads
+    # (reference /root/reference/data/tcga/gdc_manifests); the filtered set
+    # must be reproducible from the full one via etl.manifests.filter_manifest
+    from healnet_tpu.etl.manifests import filter_manifest, read_manifest
+
+    root = Path(__file__).parent.parent / "data" / "tcga" / "gdc_manifests"
+    filtered_all = sorted((root / "filtered").glob("*_wsi_manifest_filtered.txt"))
+    assert len(filtered_all) == 8  # one per VALID_DATASETS entry
+    for path in filtered_all:
+        man = read_manifest(path)
+        assert list(man.columns[:4]) == ["id", "filename", "md5", "size"]
+        assert len(man) > 0
+    for ds in ("blca", "brca", "kirp", "ucec"):
+        full = read_manifest(root / "full" / f"{ds}_wsi_manifest_full.txt")
+        filt = read_manifest(root / "filtered" / f"{ds}_wsi_manifest_filtered.txt")
+        sub = filter_manifest(full, keep_filenames=list(filt.filename))
+        assert set(sub.id) == set(filt.id)
+        assert len(sub) == len(filt)
