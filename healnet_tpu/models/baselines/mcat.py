@@ -66,7 +66,16 @@ class MCAT(nn.Module):
         deterministic: bool = True,
         return_attention: bool = False,
     ):
-        omic = _flatten_leading(tensors[0])           # (b, omic_feats)
+        # tensors[0] may be a single omic tensor (the pipeline's layout) or a
+        # list/tuple of per-signature tensors — one SNN tower each, like the
+        # reference's `sig_networks` ModuleList (`mcat.py:64-71`), whose
+        # embeddings stack into the omic token axis for co-attention.
+        raw_omic = tensors[0]
+        signatures = (
+            [_flatten_leading(s) for s in raw_omic]
+            if isinstance(raw_omic, (list, tuple))
+            else [_flatten_leading(raw_omic)]
+        )
         wsi = tensors[1]                              # (b, dim, patches)
         wsi = jnp.swapaxes(wsi, 1, 2)                 # (b, patches, dim)
         size = _SIZE_WSI[self.model_size_wsi]
@@ -77,13 +86,18 @@ class MCAT(nn.Module):
         h_path = jax.nn.relu(h_path)
         h_path = nn.Dropout(0.25)(h_path, deterministic=deterministic)
 
-        # genomic SNN tower -> one omic token
-        h_omic = omic
-        for i, width in enumerate(hidden):
-            h_omic = SNNBlock(width, dropout=0.25 if i > 0 else 0.0, name=f"sig_{i}")(
-                h_omic, deterministic=deterministic
-            )
-        h_omic = h_omic[:, None, :]                   # (b, 1, 256)
+        # genomic SNN towers -> one omic token per signature
+        # (single-signature keeps the round-1 param names `sig_{i}`)
+        tokens = []
+        for j, sig in enumerate(signatures):
+            h = sig
+            prefix = f"sig_{j}_" if len(signatures) > 1 else "sig_"
+            for i, width in enumerate(hidden):
+                h = SNNBlock(
+                    width, dropout=0.25 if i > 0 else 0.0, name=f"{prefix}{i}"
+                )(h, deterministic=deterministic)
+            tokens.append(h)
+        h_omic = jnp.stack(tokens, axis=1)            # (b, n_sig, 256)
 
         # genomic-guided co-attention: omic queries attend over patch tokens
         scale = h_omic.shape[-1] ** -0.5

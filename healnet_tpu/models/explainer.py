@@ -140,7 +140,7 @@ class Explainer:
                     self.run_sample_explanation(
                         idx, slide_id, run_omic=run_omic, run_slides=run_slides,
                         heatmap=heatmap, highlight_patches=highlight_patches,
-                        downsample=downsample,
+                        save_patches=save_patches, downsample=downsample,
                     )
                 )
         return results
@@ -153,6 +153,7 @@ class Explainer:
         run_slides: bool = True,
         heatmap: bool = True,
         highlight_patches: bool = True,
+        save_patches: bool = True,
         downsample: Optional[float] = None,
     ) -> Dict:
         pos = int(self.omic_df.index.get_loc(idx))
@@ -175,7 +176,8 @@ class Explainer:
             coords = self.load_patch_coords(slide_id)
             result["heatmap"] = self.plot_slide_attn(
                 slide_id, slide_attn, coords, heatmap=heatmap,
-                highlight_patches=highlight_patches, downsample=downsample,
+                highlight_patches=highlight_patches, save_patches=save_patches,
+                downsample=downsample,
             )
         return result
 
@@ -229,6 +231,7 @@ class Explainer:
         patch_size: Tuple[int, int] = (256, 256),
         heatmap: bool = True,
         highlight_patches: bool = True,
+        save_patches: bool = True,
         downsample: Optional[float] = None,
     ) -> Optional[np.ndarray]:
         """Attention heatmap over the slide (or coords-space fallback)."""
@@ -292,7 +295,57 @@ class Explainer:
             ax.axis("off")
             fig.savefig(self.expl_dir / f"{self.save_name}_patch_highlights.png", dpi=150)
             plt.close(fig)
+        if save_patches and slide_img is not None:
+            # extract + save the top-5 attended patch crops themselves
+            # (`explainer.py:238-262`): level-res crop from the rendered
+            # slide, plus a native-resolution read_region when the raw slide
+            # is openable
+            top = np.argsort(scaled)[::-1][:5]
+            for rank, i in enumerate(top):
+                x, y = int(xs[i]), int(ys[i])
+                crop = slide_img[y : y + ph, x : x + pw]
+                if crop.size == 0:
+                    continue
+                plt.imsave(
+                    self.expl_dir / f"{self.save_name}_patch_{rank}.png",
+                    np.ascontiguousarray(crop.astype(np.uint8)),
+                )
+            self._save_high_res_patches(
+                slide_id, coords[top], patch_size, scale_factor
+            )
         return heat
+
+    def _save_high_res_patches(
+        self,
+        slide_id: str,
+        level0_coords: np.ndarray,
+        patch_size: Tuple[int, int],
+        scale_factor: float,
+    ) -> None:
+        """Native-resolution crops of the top patches (`explainer.py:252-262`)."""
+        try:
+            from healnet_tpu.etl.slides import OpenSlide, openslide_available
+
+            if not openslide_available():
+                return
+            path = self.raw_path / f"{slide_id}.svs"
+            if not path.exists():
+                return
+            import matplotlib.pyplot as plt
+
+            slide = OpenSlide(path)
+            size0 = (
+                int(patch_size[0] * scale_factor),
+                int(patch_size[1] * scale_factor),
+            )
+            for rank, (x, y) in enumerate(np.asarray(level0_coords, dtype=int)):
+                crop = slide.read_region((int(x), int(y)), 0, size0)[:, :, :3]
+                plt.imsave(
+                    self.expl_dir / f"{self.save_name}_patch_{rank}_high_res.png",
+                    crop.astype(np.uint8),
+                )
+        except Exception as exc:  # pragma: no cover
+            print(f"high-res patch extraction unavailable ({exc})")
 
     def _read_slide_image(self, slide_id: str):
         """(slide RGB at self.level, level0->level scale) or (None, 1)."""

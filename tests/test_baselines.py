@@ -59,6 +59,29 @@ def test_mcat_attention_exposed(mm_inputs):
     np.testing.assert_allclose(np.asarray(attn["coattn"]).sum(-1), 1.0, rtol=1e-5)
 
 
+def test_mcat_multi_signature_towers(mm_inputs):
+    # reference mcat.py:64-71: one SNN tower per omic signature; embeddings
+    # stack into the omic token axis and become co-attention queries
+    omic, wsi = mm_inputs
+    rng = np.random.default_rng(3)
+    sigs = [
+        rng.normal(size=(B, 40)).astype(np.float32),
+        rng.normal(size=(B, 25)).astype(np.float32),
+        rng.normal(size=(B, 60)).astype(np.float32),
+    ]
+    model = MCAT(n_classes=4)
+    variables = model.init(jax.random.PRNGKey(0), [sigs, wsi])
+    # one tower per signature in the param tree
+    names = set(variables["params"].keys())
+    assert {"sig_0_0", "sig_1_0", "sig_2_0"} <= names
+    logits, attn = model.apply(variables, [sigs, wsi], return_attention=True)
+    assert logits.shape == (B, 4)
+    assert attn["coattn"].shape == (B, 3, N_PATCHES)
+    # single-tensor behavior keeps the round-1 param names
+    v1 = model.init(jax.random.PRNGKey(0), list(mm_inputs))
+    assert "sig_0" in v1["params"]
+
+
 def test_mcat_bilinear_fusion(mm_inputs):
     model = MCAT(n_classes=4, fusion="bilinear")
     _, logits = _init_and_run(model, list(mm_inputs))

@@ -102,6 +102,35 @@ def test_explainer_end_to_end(run_artifacts, monkeypatch, tmp_path):
     assert {"omic_attn.png", "heatmap.png", "heatmap.npy", "attention.npy", "mask.npy"} <= names
 
 
+def test_explainer_saves_top_patch_crops(run_artifacts, monkeypatch, tmp_path):
+    # save_patches extracts the top-k attended crops from the slide image
+    # (reference explainer.py:238-262); slide render injected synthetically
+    from healnet_tpu.models.explainer import Explainer
+
+    monkeypatch.chdir(tmp_path)
+    explainer = Explainer(run_artifacts)
+    # synthetic slide: x-coordinate encoded in the red channel so a crop's
+    # pixels identify which patch it came from
+    w = N_PATCHES * 256
+    img = np.zeros((256, w, 3), np.uint8)
+    for p in range(N_PATCHES):
+        img[:, p * 256 : (p + 1) * 256, 0] = 40 * p
+    monkeypatch.setattr(explainer, "_read_slide_image", lambda sid: (img, 1.0))
+    results = explainer.run(n_high=1, n_low=0, run_omic=False, heatmap=False,
+                            highlight_patches=False, save_patches=True)
+    assert results and results[0]["heatmap"] is not None
+    crops = sorted(explainer.expl_dir.glob("high_risk_0_patch_*.png"))
+    crops = [c for c in crops if "high_res" not in c.name]
+    assert len(crops) == min(5, N_PATCHES)
+    # crop 0 must be the argmax-attention patch: red channel == 40 * argmax
+    import matplotlib.pyplot as plt
+
+    attn = np.load(explainer.expl_dir / "high_risk_0_attention.npy")
+    top_patch = int(np.argmax(attn[:N_PATCHES]))
+    crop0 = plt.imread(crops[0])
+    assert int(round(crop0[0, 0, 0] * 255)) == 40 * top_patch
+
+
 def test_explainer_patient_selection(run_artifacts, monkeypatch, tmp_path):
     from healnet_tpu.models.explainer import Explainer
 
