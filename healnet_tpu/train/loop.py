@@ -25,7 +25,7 @@ TPU-native counterpart of the reference train/eval loops
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Iterator, List, Optional, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,16 +48,20 @@ def iterate_batches(
     batch_size: int,
     shuffle: bool = False,
     rng: Optional[np.random.Generator] = None,
+    bucket_boundaries: Optional[Sequence[int]] = None,
 ) -> Iterator[Dict[str, Any]]:
     """Yield static-shape batches; the trailing batch is padded and masked.
 
     ``data`` is either a dict of whole-split arrays, or a streaming source
     exposing ``iter_batches(batch_size, shuffle=..., rng=...)`` (e.g.
     :class:`healnet_tpu.etl.TCGADataset`), letting the same trainer consume
-    in-memory and disk-streaming datasets.
+    in-memory and disk-streaming datasets. ``bucket_boundaries`` enables
+    length-bucketed batching on streaming ragged-bag datasets (ignored for
+    in-memory dicts, whose shapes are already static).
     """
     if hasattr(data, "iter_batches"):
-        yield from data.iter_batches(batch_size, shuffle=shuffle, rng=rng)
+        kw = {"bucket_boundaries": bucket_boundaries} if bucket_boundaries else {}
+        yield from data.iter_batches(batch_size, shuffle=shuffle, rng=rng, **kw)
         return
     n = data["y_disc"].shape[0]
     idx = np.arange(n)
@@ -126,6 +130,7 @@ class SurvivalTrainer:
         tensor_parallel: bool = True,
         accum_steps: int = 1,
         prefetch: int = 2,
+        bucket_boundaries: Optional[Sequence[int]] = None,
     ):
         # mesh: a jax.sharding.Mesh -> the train/eval steps run SPMD over it
         # (batch over 'data', patch tokens over 'seq', Megatron TP over
@@ -136,6 +141,9 @@ class SurvivalTrainer:
         # scale only (`main.py:463-467`, optimizer steps every batch);
         # that quirk stays separately available via gc_compat.
         # prefetch: host batches decoded ahead on a background thread.
+        # bucket_boundaries: streaming ragged-bag datasets only — train
+        # batches are length-bucketed so each pads to its bucket's width
+        # (at most one compiled program per boundary).
         # aux_loss: MultiModN-style modules whose __call__(tensors, targets)
         # returns (model_loss, logits); the model loss is added to the
         # survival loss as in the reference train loop (`main.py:428-463`).
@@ -169,6 +177,9 @@ class SurvivalTrainer:
         )
         self.accum_steps = accum_steps
         self.prefetch = prefetch
+        self.bucket_boundaries = (
+            tuple(int(b) for b in bucket_boundaries) if bucket_boundaries else None
+        )
         self.params = None
         self.opt_state = None
         self._opt = None
@@ -390,7 +401,8 @@ class SurvivalTrainer:
             t0 = time.time()
             losses, risks, cens, times, masks = [], [], [], [], []
             batches = iterate_batches(
-                train_data, self.batch_size, shuffle=True, rng=np_rng
+                train_data, self.batch_size, shuffle=True, rng=np_rng,
+                bucket_boundaries=self.bucket_boundaries,
             )
 
             # keep the small host-side survival metadata out of the device

@@ -157,6 +157,7 @@ class Pipeline:
 
     # ----------------------------------------------------------------- data
     def load_data(self, fold: int = 1):
+        max_patches = self.config.get("data.max_patches")
         data = TCGADataset(
             self.config["dataset"],
             self.config,
@@ -165,6 +166,7 @@ class Pipeline:
             sources=self.sources,
             n_bins=self.output_dims,
             log_dir=self.log_dir,
+            max_patches=None if max_patches in (None, "None", "null") else int(max_patches),
         )
         train_idx, test_idx, val_idx = train_val_test_split(len(data), seed=fold)
         print(
@@ -288,4 +290,5 @@ class Pipeline:
             sources=self.sources,
             aux_loss=model_name == "multimodn",
             n_bins=self.output_dims,
+            bucket_boundaries=self.config.get("train_loop.bucket_boundaries"),
         )

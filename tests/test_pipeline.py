@@ -206,3 +206,65 @@ def test_cli_run_plan_mode(tcga_tree, tmp_path, monkeypatch):
     assert logs, "run_plan produced no run summary"
     summary = json.loads(logs[-1].read_text())
     assert "mean_test_c_index" in summary
+
+
+@pytest.fixture
+def ragged_tcga_tree(tmp_path, rng):
+    """TCGA tree with variable patch-bag sizes (ragged WSI contexts)."""
+    root = tmp_path / "tcga_ragged"
+    (root / "omic").mkdir(parents=True)
+    patches = root / "wsi" / "brca_preprocessed_level2" / "patches"
+    features = root / "wsi" / "brca_preprocessed_level2" / "patch_features"
+    patches.mkdir(parents=True)
+    features.mkdir(parents=True)
+    counts = [3, 6, 2, 5, 6, 4, 1, 6, 3, 2, 5, 4, 6, 2, 3, 5, 1, 6, 4, 2]
+    sids = [f"TCGA-R{i:03d}" for i in range(len(counts))]
+    for sid, n in zip(sids, counts):
+        (patches / f"{sid}.h5").touch()
+        np.save(features / f"{sid}.npy",
+                rng.normal(size=(n, PATCH_DIM)).astype(np.float32))
+    df = pd.DataFrame(
+        rng.normal(size=(len(sids), N_FEATS)).astype(np.float32),
+        columns=[f"g{i}" for i in range(N_FEATS)],
+    )
+    df["site"] = "b"
+    df["oncotree_code"] = "x"
+    df["case_id"] = sids
+    df["slide_id"] = [s + ".svs" for s in sids]
+    df["train"] = 1
+    df["censorship"] = rng.integers(0, 2, len(sids))
+    df["survival_months"] = rng.uniform(5, 100, len(sids))
+    df.to_csv(root / "omic" / "tcga_brca_all_clean.csv.zip", compression="zip")
+    return root
+
+
+def test_pipeline_ragged_bucketed_end_to_end(ragged_tcga_tree, tmp_path):
+    """VERDICT r1 #4: config flags -> bucketed ragged-bag batches through a
+    full pipeline run, with at most one compiled train program per bucket."""
+    cfg = _config(
+        ragged_tcga_tree, tmp_path,
+        patch_attention=True,
+        train_loop={"batch_size": 4, "epochs": 2, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1,
+                    "bucket_boundaries": [3, 6]},
+    )
+    pipeline = Pipeline(config=cfg)
+    captured = {}
+    orig = Pipeline.make_trainer
+
+    def capture(self, *a, **kw):
+        trainer = orig(self, *a, **kw)
+        captured["trainer"] = trainer
+        return trainer
+
+    Pipeline.make_trainer = capture
+    try:
+        summary = pipeline.main()
+    finally:
+        Pipeline.make_trainer = orig
+    assert "mean_test_c_index" in summary
+    trainer = captured["trainer"]
+    assert trainer.bucket_boundaries == (3, 6)
+    # jit's shape-keyed executable cache: one program per bucket width, max
+    n_programs = trainer._train_step._cache_size()
+    assert 1 <= n_programs <= 2
