@@ -133,6 +133,10 @@ class HealNetModule(nn.Module):
     snn: bool = True
     attention_impl: str = "xla"
     dtype: Any = None
+    # a jax.sharding.Mesh whose `seq` axis > 1 routes cross-attention through
+    # the explicit sequence-parallel path (KV sharded over `seq`, only
+    # online-softmax partials cross ICI) instead of GSPMD inference
+    mesh: Any = None
     # rematerialise each attention/FF block in the backward pass: activation
     # memory drops from O(depth * modalities * tokens) to O(tokens) at the
     # cost of one extra forward — the jax.checkpoint trade for deep configs
@@ -211,6 +215,7 @@ class HealNetModule(nn.Module):
                     dropout=self.attn_dropout,
                     attention_impl=self.attention_impl,
                     dtype=self.dtype,
+                    mesh=self.mesh,
                     name=f"layer{key}_cross_attn_m{m}",
                 )
                 for m in range(self.n_modalities)

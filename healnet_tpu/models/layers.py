@@ -95,6 +95,10 @@ class Attention(nn.Module):
     temperature: float = 0.5
     attention_impl: str = "xla"
     dtype: Any = None
+    # a jax.sharding.Mesh with a `seq` axis > 1 switches cross-attention to
+    # the explicit sequence-parallel path: KV stays sharded over `seq`, only
+    # online-softmax partials cross the interconnect (never the full context)
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -120,6 +124,18 @@ class Attention(nn.Module):
         dropout_rate = self.dropout if not deterministic else 0.0
         if dropout_rate > 0.0:
             dropout_rng = self.make_rng("dropout")
+
+        if self._should_use_seq_parallel(
+            context, return_weights, dropout_rate, kh.shape[2]
+        ):
+            from healnet_tpu.parallel.seq_attention import sequence_parallel_attention
+
+            out = sequence_parallel_attention(
+                qh, kh, vh, self.mesh,
+                scale=scale, temperature=self.temperature, kv_mask=kv_mask,
+            )
+            out = torch_dense(self.query_dim, inner, name="to_out", dtype=self.dtype)(out)
+            return nn.leaky_relu(out, negative_slope=1e-2), None
 
         use_flash = self._should_use_flash(
             return_weights, dropout_rate, qh.shape[0], qh.shape[2], kh.shape[2]
@@ -147,6 +163,30 @@ class Attention(nn.Module):
         out = torch_dense(self.query_dim, inner, name="to_out", dtype=self.dtype)(out)
         out = nn.leaky_relu(out, negative_slope=1e-2)
         return out, weights
+
+    def _seq_size(self) -> int:
+        if self.mesh is None:
+            return 1
+        from healnet_tpu.parallel.mesh import AXIS_SEQ
+
+        return dict(
+            zip(self.mesh.axis_names, self.mesh.devices.shape)
+        ).get(AXIS_SEQ, 1)
+
+    def _should_use_seq_parallel(
+        self, context, return_weights: bool, dropout_rate: float, lkv: int
+    ) -> bool:
+        # only cross-attention benefits (self-attention queries == keys ==
+        # tiny replicated latents); attention-prob dropout and weight capture
+        # need the materialised (lq, lkv) matrix, so they take the GSPMD path
+        seq = self._seq_size()
+        return (
+            seq > 1
+            and context is not None
+            and not return_weights
+            and dropout_rate == 0.0
+            and lkv % seq == 0
+        )
 
     def _should_use_flash(
         self, return_weights: bool, dropout_rate: float, b: int, lq: int, lkv: int
@@ -186,6 +226,7 @@ class PreNormAttention(nn.Module):
     temperature: float = 0.5
     attention_impl: str = "xla"
     dtype: Any = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -209,6 +250,7 @@ class PreNormAttention(nn.Module):
             temperature=self.temperature,
             attention_impl=self.attention_impl,
             dtype=self.dtype,
+            mesh=self.mesh,
             name="fn",
         )(
             normed,

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from healnet_tpu.ops.activations import mask_value
-from healnet_tpu.parallel.mesh import AXIS_SEQ
+from healnet_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL, AXIS_SEQ
 
 
 def _local_attention_stats(q, k, v, kv_mask, scale, temperature):
@@ -80,13 +80,24 @@ def sequence_parallel_attention(
         # combine partial softmax stats across the KV shards
         m_global = jax.lax.stop_gradient(jax.lax.pmax(m, axis))
         correction = jnp.exp(m - m_global)
-        l_global = jax.lax.psum(l * correction, axis)
+        l_global = jnp.maximum(jax.lax.psum(l * correction, axis), 1e-30)
         o_global = jax.lax.psum(o * correction, axis)
-        return o_global / jnp.maximum(l_global, 1e-30)
+        return o_global / l_global
 
-    qspec = P(None, None, None, None)
-    kvspec = P(None, None, axis, None)
-    mspec = P(None, axis)
+    # keep the batch axis sharded over `data` and (when divisible) the head
+    # axis over `model`, so entering the shard_map never all-gathers what the
+    # surrounding GSPMD program keeps distributed — only the online-softmax
+    # partials (b, h, lq, {1,d}) ever cross the interconnect
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    b_axis = AXIS_DATA if q.shape[0] % max(sizes.get(AXIS_DATA, 1), 1) == 0 else None
+    h_axis = (
+        AXIS_MODEL
+        if sizes.get(AXIS_MODEL, 1) > 1 and q.shape[1] % sizes[AXIS_MODEL] == 0
+        else None
+    )
+    qspec = P(b_axis, h_axis, None, None)
+    kvspec = P(b_axis, h_axis, axis, None)
+    mspec = P(b_axis, axis)
     out = shard_map(
         local_fn,
         mesh=mesh,

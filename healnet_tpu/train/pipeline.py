@@ -185,7 +185,7 @@ class Pipeline:
         return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(precision)
 
     # ---------------------------------------------------------------- model
-    def make_model(self, example_batch: Dict[str, Any]):
+    def make_model(self, example_batch: Dict[str, Any], mesh=None):
         """Instantiate the configured model, shape-inferred from a batch."""
         feat = example_batch["tensors"]
         model_name = self.config["model"]
@@ -221,6 +221,7 @@ class Pipeline:
                 snn=bool(mp("snn")),
                 attention_impl=str(self.config.get("attention_impl", "auto")),
                 dtype=self._compute_dtype(),
+                mesh=mesh,
             )
 
         if model_name == "fcnn":
@@ -265,13 +266,13 @@ class Pipeline:
         example_batch = next(
             iterate_batches(train_view, int(self.config["train_loop.batch_size"]))
         )
-        model = self.make_model(example_batch)
-        model_name = self.config["model"]
         mesh = None
         if self.config.get("spmd", False):
             from healnet_tpu.parallel import make_mesh
 
             mesh = make_mesh()  # all visible devices, (data, seq, model)
+        model = self.make_model(example_batch, mesh=mesh)
+        model_name = self.config["model"]
         return SurvivalTrainer(
             model,
             loss_type=self.config["survival.loss"],

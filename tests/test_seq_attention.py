@@ -90,3 +90,84 @@ def test_jit_and_single_device_mesh(rng):
         out = fn(q, k, v)
     ref, _ = multihead_attention(q, k, v, scale=0.25, temperature=0.5, kv_mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------- model-level integration
+
+
+def _seq_model(mesh):
+    from healnet_tpu.models import HealNetModule
+
+    return HealNetModule(
+        n_modalities=2, channel_dims=(24, 48), num_spatial_axes=(1, 1),
+        out_dims=4, depth=2, l_c=6, l_d=16, x_heads=2, l_heads=2,
+        cross_dim_head=8, latent_dim_head=8, self_per_cross_attn=0,
+        mesh=mesh,
+    )
+
+
+def _seq_inputs(rng, b=8, tokens=64):
+    tab = rng.normal(size=(b, 1, 24)).astype(np.float32)
+    wsi = rng.normal(size=(b, tokens, 48)).astype(np.float32)
+    return (jnp.asarray(tab), jnp.asarray(wsi))
+
+
+def test_model_seq_parallel_matches_single_device(rng):
+    """VERDICT r1 #5: a seq>1 mesh model must equal the unsharded model."""
+    mesh = make_mesh(8)  # (data=2, seq=2, model=2)
+    tensors = _seq_inputs(rng)
+    ref_model = _seq_model(None)
+    params = ref_model.init(jax.random.PRNGKey(0), tensors)["params"]
+    ref = ref_model.apply({"params": params}, tensors)
+
+    sp_model = _seq_model(mesh)
+    # identical param trees: mesh only changes the attention dispatch
+    sp_params = sp_model.init(jax.random.PRNGKey(0), tensors)["params"]
+    chex = jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(sp_params)
+    assert chex
+
+    from healnet_tpu.parallel.mesh import batch_sharding, context_sharding
+
+    sharded = (
+        jax.device_put(tensors[0], batch_sharding(mesh, extra_axes=2)),
+        jax.device_put(tensors[1], context_sharding(mesh, ndim=3)),
+    )
+    with mesh:
+        out = jax.jit(lambda p, t: sp_model.apply({"params": p}, t))(params, sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_model_seq_parallel_no_full_context_allgather(rng):
+    """The compiled SPMD forward must never all-gather the full KV context."""
+    mesh = make_mesh(8)
+    tokens = 64
+    tensors = _seq_inputs(rng, tokens=tokens)
+    sp_model = _seq_model(mesh)
+    params = sp_model.init(jax.random.PRNGKey(0), tensors)["params"]
+
+    from healnet_tpu.parallel.mesh import batch_sharding, context_sharding
+
+    shardings = (
+        batch_sharding(mesh, extra_axes=2),
+        context_sharding(mesh, ndim=3),
+    )
+    with mesh:
+        lowered = jax.jit(
+            lambda p, t: sp_model.apply({"params": p}, t),
+            in_shardings=(None, shardings),
+        ).lower(params, tensors)
+    hlo = lowered.compile().as_text()
+    import re
+
+    bad = []
+    for line in hlo.splitlines():
+        m = re.search(r"=\s*\w+\[([\d,]*)\]\{[\d,]*\}\s*all-gather\(", line)
+        if m is None:
+            continue
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        # the only acceptable gather is the rank-1 Fourier position vector
+        # (bytes, not megabytes); any >=2-D gather means GSPMD re-materialised
+        # a distributed activation (full context, or the data-parallel batch)
+        if len(dims) >= 2:
+            bad.append(line.strip())
+    assert not bad, "distributed-activation all-gather found:\n" + "\n".join(bad[:5])
