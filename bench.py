@@ -114,19 +114,24 @@ def bench_jax() -> float:
 
     p, s, loss = loop(params, opt_state, batch, WARMUP)
     float(loss)  # force completion
-    # best-of-3: tunnel latency through the axon relay is noisy; the fastest
-    # repetition is the closest estimate of on-chip step time
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _, _, loss = loop(p, s, batch, 1)
-        float(loss)
-        base = time.perf_counter() - t0  # 1 step + dispatch/readback overhead
-        t0 = time.perf_counter()
-        _, _, loss = loop(p, s, batch, 1 + ITERS)
-        float(loss)
-        best_dt = min(best_dt, (time.perf_counter() - t0) - base)
-    return BATCH * ITERS / best_dt
+
+    # Timing: relay dispatch/readback latency is noisy and strictly additive,
+    # so take the MIN of each run length separately and difference the mins.
+    # (Round 1 subtracted a single 1-step reading from each (1+N)-step
+    # reading before taking the best — that amplifies noise and produced a
+    # 2x spread, including one inflated 9.2k reading when the 1-step call hit
+    # a slow relay round-trip.)
+    def t_min(n, reps=5):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, _, loss = loop(p, s, batch, n)
+            float(loss)  # scalar readback is the only reliable fence here
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (t_min(1 + ITERS) - t_min(1)) / ITERS
+    return BATCH / dt
 
 
 def bench_torch_reference() -> float:

@@ -188,6 +188,21 @@ class HealNetModule(nn.Module):
                 data = jnp.concatenate([data, enc], axis=-1)
             contexts.append(data.reshape(b, -1, data.shape[-1]))
 
+        # ---- normalize each context ONCE (shared x_hat). LayerNorm statistics
+        # are layer-independent, so every layer's `norm_context` affine folds
+        # into its to_kv weights (FoldedKV) — per layer this removes a
+        # context-sized LN-output write+read and a context-sized residual for
+        # the backward pass, the dominant HBM traffic at WSI scale (the raw
+        # context is ~134 MB for a 4k x 2048 bag at batch 8).
+        normed_contexts: List[jnp.ndarray] = []
+        for ctx in contexts:
+            xf = ctx.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+            xhat = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+            normed_contexts.append(xhat.astype(ctx.dtype))
+        contexts = normed_contexts
+
         if presence is None:
             presence = jnp.ones((b, self.n_modalities), dtype=contexts[0].dtype)
         presence = presence.astype(contexts[0].dtype)
@@ -196,7 +211,7 @@ class HealNetModule(nn.Module):
 
         # ---- module construction honouring cache_fn tying semantics
         if self.remat:
-            attn_cls = nn.remat(PreNormAttention, static_argnums=(4, 5))
+            attn_cls = nn.remat(PreNormAttention, static_argnums=(4, 5, 6))
             ff_cls = nn.remat(PreNormFeedForward, static_argnums=(2,))
         else:
             attn_cls, ff_cls = PreNormAttention, PreNormFeedForward
@@ -270,6 +285,29 @@ class HealNetModule(nn.Module):
                 "self_ffs": self_ffs,
             }
 
+        # ---- merged KV projections: every fusion layer's KV depends only on
+        # the (shared, normalized) context, so all unique layer groups project
+        # in ONE matmul per modality with their LayerNorm affines folded into
+        # the concatenated weights — a single context read covers the whole
+        # forward, and its transpose a single read in the backward. Disabled
+        # under remat (whose point is recomputing per block).
+        kv_cache = {}
+        if not self.remat:
+            group_keys = list(groups.keys())
+            for i, ctx in enumerate(contexts):
+                folds = [groups[key]["cross_attns"][i].kv_fold() for key in group_keys]
+                w_all = jnp.concatenate([w for w, _ in folds], axis=1)
+                b_all = jnp.concatenate([fb for _, fb in folds])
+                x_in = ctx if self.dtype is None else ctx.astype(self.dtype)
+                w_c = w_all if self.dtype is None else w_all.astype(self.dtype)
+                kv_all = x_in @ w_c + b_all.astype(
+                    jnp.result_type(x_in.dtype, w_c.dtype)
+                )
+                offset = 0
+                for key, (w, _) in zip(group_keys, folds):
+                    kv_cache[(key, i)] = kv_all[:, :, offset : offset + w.shape[1]]
+                    offset += w.shape[1]
+
         # ---- shared latent bottleneck (`healnet.py:143`)
         latents = self.param(
             "latents", nn.initializers.normal(stddev=1.0), (self.l_c, self.l_d)
@@ -278,14 +316,22 @@ class HealNetModule(nn.Module):
 
         # ---- iterative fusion (`healnet.py:227-245`)
         for layer in range(self.depth):
-            mods = groups[_tie_key(layer, self.weight_tie_layers)]
+            key = _tie_key(layer, self.weight_tie_layers)
+            mods = groups[key]
             for i in range(self.n_modalities):
                 pres = presence[:, i][:, None, None]
                 # positional args: remat-transformed modules resolve their
                 # static_argnums positionally
-                update, weights = mods["cross_attns"][i](
-                    x, contexts[i], kv_masks[i], deterministic, store_attention
-                )
+                if (key, i) in kv_cache:
+                    update, weights = mods["cross_attns"][i](
+                        x, None, kv_masks[i], deterministic, store_attention,
+                        False, kv_cache[(key, i)],
+                    )
+                else:  # remat path: shared x_hat, per-layer folded projection
+                    update, weights = mods["cross_attns"][i](
+                        x, contexts[i], kv_masks[i], deterministic, store_attention,
+                        True,
+                    )
                 if store_attention:
                     self.sow("intermediates", f"attn_l{layer}_cross_m{i}", weights)
                 x = pres * update + x
@@ -294,7 +340,7 @@ class HealNetModule(nn.Module):
                 # reference's actual control flow (`healnet.py:241-245`)
                 for blk in range(self.self_per_cross_attn):
                     update, weights = mods["self_attns"][blk](
-                        x, None, None, deterministic, store_attention
+                        x, None, None, deterministic, store_attention, False
                     )
                     if store_attention:
                         self.sow("intermediates", f"attn_l{layer}_self_b{blk}", weights)

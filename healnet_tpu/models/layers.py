@@ -78,6 +78,48 @@ class FeedForward(nn.Module):
         return h
 
 
+class FoldedKV(nn.Module):
+    """``to_kv`` projection that can fold a LayerNorm affine into its weights.
+
+    Param tree is identical to ``nn.Dense(use_bias=False, name="to_kv")``
+    (a single ``kernel``), so checkpoints and the Megatron TP rules on
+    ``to_kv/kernel`` are unaffected. With ``(scale, bias)`` given, it computes
+
+        LN_out @ W  =  (x_hat * scale + bias) @ W  =  x_hat @ (scale ⊙ W) + bias @ W
+
+    i.e. the per-layer context LayerNorm collapses into a weight rescale. The
+    folded kernel is weight-sized (tiny), so each fusion layer stops paying a
+    context-sized read+write for its own LayerNorm output — the single shared
+    normalized context x_hat is the only context-sized tensor in flight, and
+    the LN-parameter gradients become weight-sized reductions.
+    """
+
+    features: int
+    in_features: int
+    dtype: Any = None
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", _torch_kernel_init, (self.in_features, self.features)
+        )
+
+    def fold(self, scale, bias):
+        """(scale ⊙ W, bias @ W) — weight-sized, fp32."""
+        return self.kernel * scale[:, None], bias @ self.kernel
+
+    def __call__(self, x, scale=None, bias=None):
+        kernel = self.kernel
+        folded_bias = None
+        if scale is not None:
+            kernel, folded_bias = self.fold(scale, bias)
+        if self.dtype is not None:
+            x, kernel = x.astype(self.dtype), kernel.astype(self.dtype)
+        y = x @ kernel
+        if folded_bias is not None:
+            y = y + folded_bias.astype(y.dtype)
+        return y
+
+
 class Attention(nn.Module):
     """Cross/self attention with temperature-0.5 softmax (`healnet.py:369-426`).
 
@@ -100,7 +142,17 @@ class Attention(nn.Module):
     # online-softmax partials cross the interconnect (never the full context)
     mesh: Any = None
 
-    @nn.compact
+    def setup(self):
+        inner = self.dim_head * self.heads
+        ctx_dim = self.context_dim if self.context_dim is not None else self.query_dim
+        self.to_q = torch_dense(inner, self.query_dim, use_bias=False, dtype=self.dtype)
+        self.to_kv = FoldedKV(inner * 2, in_features=ctx_dim, dtype=self.dtype)
+        self.to_out = torch_dense(self.query_dim, inner, dtype=self.dtype)
+
+    def kv_fold(self, scale, bias):
+        """Fold a context-LayerNorm affine into this head's KV weights."""
+        return self.to_kv.fold(scale, bias)
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -108,14 +160,19 @@ class Attention(nn.Module):
         kv_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         return_weights: bool = False,
+        ctx_scale: Optional[jnp.ndarray] = None,
+        ctx_bias: Optional[jnp.ndarray] = None,
+        kv: Optional[jnp.ndarray] = None,
     ):
+        """``kv``: precomputed (b, tokens, 2*inner) projection — the merged
+        all-layer KV matmul path (one context read for the whole model)."""
         inner = self.dim_head * self.heads
-        ctx_dim = self.context_dim if self.context_dim is not None else self.query_dim
         scale = self.dim_head**-0.5
 
-        q = torch_dense(inner, self.query_dim, use_bias=False, name="to_q", dtype=self.dtype)(x)
-        ctx = x if context is None else context
-        kv = torch_dense(inner * 2, ctx_dim, use_bias=False, name="to_kv", dtype=self.dtype)(ctx)
+        q = self.to_q(x)
+        if kv is None:
+            ctx = x if context is None else context
+            kv = self.to_kv(ctx, scale=ctx_scale, bias=ctx_bias)
         k, v = jnp.split(kv, 2, axis=-1)
 
         qh, kh, vh = (split_heads(t, self.heads) for t in (q, k, v))
@@ -125,8 +182,9 @@ class Attention(nn.Module):
         if dropout_rate > 0.0:
             dropout_rng = self.make_rng("dropout")
 
+        is_cross = context is not None or kv_mask is not None or kv.shape[1] != x.shape[1]
         if self._should_use_seq_parallel(
-            context, return_weights, dropout_rate, kh.shape[2]
+            is_cross, return_weights, dropout_rate, kh.shape[2]
         ):
             from healnet_tpu.parallel.seq_attention import sequence_parallel_attention
 
@@ -134,8 +192,7 @@ class Attention(nn.Module):
                 qh, kh, vh, self.mesh,
                 scale=scale, temperature=self.temperature, kv_mask=kv_mask,
             )
-            out = torch_dense(self.query_dim, inner, name="to_out", dtype=self.dtype)(out)
-            return nn.leaky_relu(out, negative_slope=1e-2), None
+            return nn.leaky_relu(self.to_out(out), negative_slope=1e-2), None
 
         use_flash = self._should_use_flash(
             return_weights, dropout_rate, qh.shape[0], qh.shape[2], kh.shape[2]
@@ -160,8 +217,7 @@ class Attention(nn.Module):
                 return_weights=return_weights,
             )
 
-        out = torch_dense(self.query_dim, inner, name="to_out", dtype=self.dtype)(out)
-        out = nn.leaky_relu(out, negative_slope=1e-2)
+        out = nn.leaky_relu(self.to_out(out), negative_slope=1e-2)
         return out, weights
 
     def _seq_size(self) -> int:
@@ -174,7 +230,7 @@ class Attention(nn.Module):
         ).get(AXIS_SEQ, 1)
 
     def _should_use_seq_parallel(
-        self, context, return_weights: bool, dropout_rate: float, lkv: int
+        self, is_cross: bool, return_weights: bool, dropout_rate: float, lkv: int
     ) -> bool:
         # only cross-attention benefits (self-attention queries == keys ==
         # tiny replicated latents); attention-prob dropout and weight capture
@@ -182,7 +238,7 @@ class Attention(nn.Module):
         seq = self._seq_size()
         return (
             seq > 1
-            and context is not None
+            and is_cross
             and not return_weights
             and dropout_rate == 0.0
             and lkv % seq == 0
@@ -215,8 +271,33 @@ class Attention(nn.Module):
         return False
 
 
+class LayerNormAffine(nn.Module):
+    """Owns LayerNorm's ``scale``/``bias`` params without applying them.
+
+    Param tree matches ``nn.LayerNorm`` exactly, so a checkpoint trained on
+    either path loads on the other. Used by the pre-normalized-context fast
+    path, where the affine is folded into the KV projection weights instead
+    of being applied across the full context.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
 class PreNormAttention(nn.Module):
-    """PreNorm wrapper around Attention (`healnet.py:306-321`)."""
+    """PreNorm wrapper around Attention (`healnet.py:306-321`).
+
+    ``context_normalized=True`` marks the incoming context as already
+    normalized (shared x_hat computed once per step by the caller — LayerNorm
+    statistics do not depend on this layer's params); the layer's own
+    ``norm_context`` affine is then folded into ``to_kv`` (see
+    :class:`FoldedKV`) instead of re-reading the full context.
+    """
 
     query_dim: int
     context_dim: Optional[int] = None
@@ -228,20 +309,11 @@ class PreNormAttention(nn.Module):
     dtype: Any = None
     mesh: Any = None
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        context: Optional[jnp.ndarray] = None,
-        kv_mask: Optional[jnp.ndarray] = None,
-        deterministic: bool = True,
-        return_weights: bool = False,
-    ):
-        normed = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
-        normed_ctx = None
-        if context is not None:
-            normed_ctx = nn.LayerNorm(epsilon=1e-5, name="norm_context", dtype=self.dtype)(context)
-        return Attention(
+    def setup(self):
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        if self.context_dim is not None:
+            self.norm_context = LayerNormAffine(self.context_dim)
+        self.fn = Attention(
             query_dim=self.query_dim,
             context_dim=self.context_dim,
             heads=self.heads,
@@ -251,13 +323,54 @@ class PreNormAttention(nn.Module):
             attention_impl=self.attention_impl,
             dtype=self.dtype,
             mesh=self.mesh,
-            name="fn",
-        )(
+        )
+
+    def kv_fold(self):
+        """This layer's context-KV weights with its LayerNorm affine folded in.
+
+        Lets the model compute ONE merged KV matmul over the shared
+        normalized context for all fusion layers (one context read for the
+        whole forward, one for the whole backward).
+        """
+        scale, bias = self.norm_context()
+        return self.fn.kv_fold(scale, bias)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        kv_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_weights: bool = False,
+        context_normalized: bool = False,
+        kv: Optional[jnp.ndarray] = None,
+    ):
+        normed = self.norm(x)
+        normed_ctx = None
+        ctx_scale = ctx_bias = None
+        if kv is None and context is not None:
+            if context_normalized:
+                # shared x_hat: fold this layer's affine into to_kv weights
+                ctx_scale, ctx_bias = self.norm_context()
+                normed_ctx = context
+            else:
+                scale_p, bias_p = self.norm_context()
+                xf = context.astype(jnp.float32)
+                mu = jnp.mean(xf, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+                xhat = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+                normed_ctx = (xhat * scale_p + bias_p).astype(
+                    self.dtype or context.dtype
+                )
+        return self.fn(
             normed,
             context=normed_ctx,
             kv_mask=kv_mask,
             deterministic=deterministic,
             return_weights=return_weights,
+            ctx_scale=ctx_scale,
+            ctx_bias=ctx_bias,
+            kv=kv,
         )
 
 

@@ -165,9 +165,13 @@ def test_model_seq_parallel_no_full_context_allgather(rng):
         if m is None:
             continue
         dims = [int(d) for d in m.group(1).split(",") if d]
-        # the only acceptable gather is the rank-1 Fourier position vector
-        # (bytes, not megabytes); any >=2-D gather means GSPMD re-materialised
-        # a distributed activation (full context, or the data-parallel batch)
-        if len(dims) >= 2:
+        n = 1
+        for d in dims:
+            n *= d
+        # acceptable gathers are weight/position-sized (the folded-kernel
+        # concat and the rank-1 Fourier position vector, KBs); an
+        # activation-scale gather means GSPMD re-materialised a distributed
+        # tensor (the full context, or the data-parallel batch)
+        if len(dims) >= 2 and n * 4 >= 1 << 20:
             bad.append(line.strip())
     assert not bad, "distributed-activation all-gather found:\n" + "\n".join(bad[:5])
