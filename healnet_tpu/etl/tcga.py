@@ -168,6 +168,12 @@ class TCGADataset(Dataset):
         self.survival_months = self.omic_df["survival_months"].values.astype(np.float32)
         self.y_disc = self.omic_df["y_disc"].values.astype(np.int32)
         self._cache = LRUCache(cache_capacity)
+        fd = (
+            config.get("data.feature_dtype", config.get("data", {}).get("feature_dtype", "float32"))
+            if hasattr(config, "get")
+            else "float32"
+        )
+        self.feature_dtype = np.dtype(str(fd or "float32"))
         self.max_patches = max_patches
         if self.max_patches is None and "slides" in self.sources:
             self.max_patches = self._scan_max_patches()
@@ -253,11 +259,18 @@ class TCGADataset(Dataset):
         return sizes.get(sid)
 
     def load_patch_features(self, slide_id: str) -> np.ndarray:
-        """Raw per-slide patch features, (n_patches, feat_dim)."""
+        """Raw per-slide patch features, (n_patches, feat_dim).
+
+        Features keep ``feature_dtype`` (config ``data.feature_dtype``,
+        default float32) on the host: with float16 the per-batch host->device
+        transfer halves — at WSI scale the H2D stream, not compute, bounds
+        epoch time. The model casts to its compute dtype on device.
+        """
         base = self.prep_path / "patch_features"
         npy = base / f"{slide_id}.npy"
         if npy.exists():
-            if self._native is not None:
+            # the native cache decodes to f32; use it only when f32 is wanted
+            if self._native is not None and self.feature_dtype == np.float32:
                 feats = self._native.load(npy)
             else:
                 feats = np.load(npy)
@@ -266,7 +279,7 @@ class TCGADataset(Dataset):
 
             with open(base / f"{slide_id}.pt", "rb") as f:
                 feats = torch.load(f, weights_only=True).numpy()
-        return np.asarray(feats, dtype=np.float32)
+        return np.asarray(feats, dtype=self.feature_dtype)
 
     def _slide_tensor(self, index: int, pad_to: Optional[int] = None) -> Tuple[np.ndarray, int]:
         """(static-shape slide tensor, n_valid_patches) — ragged bags padded.

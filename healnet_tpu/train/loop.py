@@ -523,7 +523,12 @@ class SurvivalTrainer:
             self._build_steps(total_steps=1)
         losses, risks, cens, times, masks = [], [], [], [], []
         use_omic = True
-        for batch in iterate_batches(data, self.batch_size):
+        # buckets apply at eval too: c-index and the loss aggregation are
+        # order-independent (per-batch metadata rides along), and padding
+        # every eval batch to the global max would multiply its H2D stream
+        for batch in iterate_batches(
+            data, self.batch_size, bucket_boundaries=self.bucket_boundaries
+        ):
             n_mod = len(batch["tensors"])
             if missing_mode is not None and n_mod >= 2:
                 presence = np.ones((self.batch_size, n_mod), dtype=np.float32)

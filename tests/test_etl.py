@@ -357,3 +357,20 @@ def test_shipped_gdc_manifests_parse_and_filter():
         sub = filter_manifest(full, keep_filenames=list(filt.filename))
         assert set(sub.id) == set(filt.id)
         assert len(sub) == len(filt)
+
+
+def test_feature_dtype_float16(ragged_tcga_root):
+    # data.feature_dtype=float16 keeps patch features half-precision on the
+    # host (halving the per-batch H2D stream); labels/omic stay fp32
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    cfg["data.feature_dtype"] = "float16"
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    batch = next(ds.iter_batches(4))
+    assert batch["tensors"][1].dtype == np.float16
+    assert batch["tensors"][0].dtype == np.float32
+    assert batch["censorship"].dtype == np.float32
+    # f32 default unchanged
+    ds32 = TCGADataset("brca", _config(root), n_bins=4)
+    assert next(ds32.iter_batches(4))["tensors"][1].dtype == np.float32
