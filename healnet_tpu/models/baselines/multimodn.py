@@ -158,6 +158,7 @@ class MultiModNModule(nn.Module):
         targets: Optional[jnp.ndarray] = None,
         presence: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        return_stages: bool = False,
     ):
         assert len(tensors) == len(self.encoders), (
             "Number of inputs must match number of encoders"
@@ -168,6 +169,11 @@ class MultiModNModule(nn.Module):
         )
         state = jnp.broadcast_to(init_state, (b, self.state_size))
 
+        # stage 0: decoders predict from the INITIAL state, as in the
+        # reference trainer (`multimodn/multimodn.py:148-160`); stage i > 0:
+        # after the i-th encoder
+        stages = [[decoder(state) for decoder in self.decoders]] if return_stages else []
+        state_changes = []
         running_loss = 0.0
         logits = None
         for i, (encoder, x) in enumerate(zip(self.encoders, tensors)):
@@ -177,15 +183,24 @@ class MultiModNModule(nn.Module):
                 pres = presence[:, i][:, None].astype(new_state.dtype)
                 new_state = pres * new_state + (1.0 - pres) * old_state
             state = new_state
+            state_changes.append(jnp.mean((state - old_state) ** 2))
+            stage_logits = []
             for decoder in self.decoders:
                 logits = decoder(state)
+                stage_logits.append(logits)
                 if targets is not None:
                     err = _softmax_ce(logits, targets)
-                    state_change = jnp.mean((state - old_state) ** 2)
                     running_loss = running_loss + (
                         err * self.err_penalty
-                        + state_change * self.state_change_penalty
+                        + state_changes[-1] * self.state_change_penalty
                     )
+            if return_stages:
+                stages.append(stage_logits)
+        if return_stages:
+            loss = (
+                running_loss / len(self.encoders) if targets is not None else None
+            )
+            return stages, jnp.stack(state_changes), loss
         if targets is None:
             return logits
         return running_loss / len(self.encoders), logits

@@ -11,6 +11,7 @@ from healnet_tpu.train.metrics import concordance_index_censored
 from healnet_tpu.train.schedule import make_optimizer, onecycle_beta1, onecycle_lr
 from healnet_tpu.train.loop import SurvivalTrainer, iterate_batches
 from healnet_tpu.train.checkpoint import Checkpointer
+from healnet_tpu.train.multimodn_trainer import MultiModNTrainer
 
 __all__ = [
     "CoxPHSurvLoss",
@@ -27,4 +28,5 @@ __all__ = [
     "SurvivalTrainer",
     "iterate_batches",
     "Checkpointer",
+    "MultiModNTrainer",
 ]

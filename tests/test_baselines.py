@@ -265,3 +265,52 @@ def test_baselines_in_trainer(mm_inputs, rng):
         )
         res = trainer.fit(data, data, verbose=False)
         assert np.isfinite(res["train_loss"]), type(model).__name__
+
+
+def test_multimodn_bespoke_trainer_protocol():
+    # the reference's own train/test/predict harness (multimodn.py:97-500):
+    # per-(stage x decoder) loss/accuracy matrices incl. the stage-0 row,
+    # binary confusion rates, history logging — here as one jitted step
+    import numpy as np
+    from healnet_tpu.models.baselines import (
+        ClassDecoder, MLPEncoder, MultiModNModule,
+    )
+    from healnet_tpu.models.baselines.multimodn import MultiModNHistory
+    from healnet_tpu.train import MultiModNTrainer
+
+    rng = np.random.default_rng(0)
+    n = 32
+    tab = rng.normal(size=(n, 6)).astype(np.float32)
+    img = rng.normal(size=(n, 4)).astype(np.float32)
+    y = (tab[:, 0] + 0.3 * img[:, 0] > 0).astype(np.int32)  # learnable binary
+    data = {
+        "tensors": (tab, img),
+        "y_disc": y,
+        "censorship": np.zeros(n, np.float32),
+        "event_time": np.ones(n, np.float32),
+    }
+    module = MultiModNModule(
+        state_size=16,
+        encoders=(MLPEncoder(16, (8,)), MLPEncoder(16, (8,))),
+        decoders=(ClassDecoder(2),),
+        err_penalty=1.0,
+        state_change_penalty=0.5,
+    )
+    history = MultiModNHistory()
+    trainer = MultiModNTrainer(module, n_classes=2, lr=5e-3, batch_size=8)
+    train_m, val_m = trainer.fit(data, data, epochs=6, history=history)
+
+    # matrices are (n_encoders + 1, n_decoders) with a stage-0 row
+    assert train_m["loss"].shape == (3, 1)
+    assert val_m["accuracy"].shape == (3, 1)
+    # later stages see more modalities -> final-stage accuracy beats stage 0
+    assert val_m["accuracy"][2, 0] > val_m["accuracy"][0, 0]
+    assert val_m["accuracy"][2, 0] > 0.7
+    # binary confusion rates defined and consistent
+    ba = val_m["balanced_accuracy"]
+    assert ba.shape == (3, 1) and np.isfinite(ba[2, 0])
+    # predictions for every sample; history recorded train+val rows
+    assert trainer.predict(data).shape == (n,)
+    df = history.to_dataframe()
+    assert {"train_loss", "val_loss"} <= set(df.columns) - {"epoch"} | set(df.columns)
+    assert len(df) == 6 * 3 * 2  # epochs x stages x (train+val)
