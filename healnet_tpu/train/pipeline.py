@@ -292,4 +292,19 @@ class Pipeline:
             aux_loss=model_name == "multimodn",
             n_bins=self.output_dims,
             bucket_boundaries=self.config.get("train_loop.bucket_boundaries"),
+            checkpoint_dir=self._fold_checkpoint_dir(fold),
+            resume=bool(self.config.get("train_loop.resume", False)),
         )
+
+    def _fold_checkpoint_dir(self, fold: int):
+        """Durable per-fold checkpoints (train_loop.checkpoint: true).
+
+        With train_loop.resume also set, a re-launched run restores the last
+        finished epoch of the interrupted fold and continues — the
+        upgrade over the reference's in-memory-only best weights
+        (`main.py:397-399`, lost on any crash mid-plan).
+        """
+        if not self.config.get("train_loop.checkpoint", False):
+            return None
+        base = Path(self.tracker.log_dir if self.tracker is not None else "logs")
+        return str(base / f"fold_{fold}_checkpoints")

