@@ -175,8 +175,13 @@ class TCGADataset(Dataset):
         )
         self.feature_dtype = np.dtype(str(fd or "float32"))
         self.max_patches = max_patches
-        if self.max_patches is None and "slides" in self.sources:
-            self.max_patches = self._scan_max_patches()
+        if "slides" in self.sources:
+            # always scan: it reads only npy headers and populates the
+            # per-slide _bag_sizes that length-bucketed batching keys on —
+            # an explicit max_patches must not silently disable bucketing
+            scanned = self._scan_max_patches()
+            if self.max_patches is None:
+                self.max_patches = scanned
         # native C++ cache for .npy feature files: byte-bounded LRU with a
         # background prefetch thread pool (cpp/healnet_runtime.cc)
         self._native = None

@@ -159,6 +159,7 @@ class MultiModNModule(nn.Module):
         presence: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         return_stages: bool = False,
+        sample_weights: Optional[jnp.ndarray] = None,
     ):
         assert len(tensors) == len(self.encoders), (
             "Number of inputs must match number of encoders"
@@ -189,7 +190,7 @@ class MultiModNModule(nn.Module):
                 logits = decoder(state)
                 stage_logits.append(logits)
                 if targets is not None:
-                    err = _softmax_ce(logits, targets)
+                    err = _softmax_ce(logits, targets, sample_weights)
                     running_loss = running_loss + (
                         err * self.err_penalty
                         + state_changes[-1] * self.state_change_penalty
@@ -206,10 +207,22 @@ class MultiModNModule(nn.Module):
         return running_loss / len(self.encoders), logits
 
 
-def _softmax_ce(logits: jnp.ndarray, targets_onehot: jnp.ndarray) -> jnp.ndarray:
-    """torch ``nn.CrossEntropyLoss`` with soft targets (`better_multimodn.py:63`)."""
+def _softmax_ce(
+    logits: jnp.ndarray,
+    targets_onehot: jnp.ndarray,
+    sample_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """torch ``nn.CrossEntropyLoss`` with soft targets (`better_multimodn.py:63`).
+
+    ``sample_weights`` (0/1 padding mask) excludes padded trailing-batch rows
+    from the mean so duplicated pad rows never bias the gradient.
+    """
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.sum(targets_onehot * log_probs, axis=-1))
+    per_row = -jnp.sum(targets_onehot * log_probs, axis=-1)
+    if sample_weights is None:
+        return jnp.mean(per_row)
+    w = sample_weights.astype(per_row.dtype)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 class MultiModNHistory:

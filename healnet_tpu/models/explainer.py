@@ -252,9 +252,12 @@ class Explainer:
         slide_img, scale_factor = self._read_slide_image(slide_id)
         if slide_img is not None:
             canvas_h, canvas_w = slide_img.shape[:2]
+            # coords are level-0 (CLAM schema) -> divide by the level's
+            # downsample; patch_size is defined AT the pyramid level
+            # (cli/tasks.py grid step), so the extent needs no rescaling
             xs = (coords[:, 0] / scale_factor).astype(int)
             ys = (coords[:, 1] / scale_factor).astype(int)
-            ph = pw = int(patch_size[0] / scale_factor)
+            ph = pw = int(patch_size[0])
         else:  # coords-space canvas fallback
             cell = 16
             xs = ((coords[:, 0] - coords[:, 0].min()) // patch_size[0]).astype(int) * cell
@@ -323,17 +326,17 @@ class Explainer:
         scale_factor: float,
     ) -> None:
         """Native-resolution crops of the top patches (`explainer.py:252-262`)."""
+        from healnet_tpu.etl.slides import OpenSlide, openslide_available
+
+        if not openslide_available():
+            return
+        path = self.raw_path / f"{slide_id}.svs"
+        if not path.exists():
+            return
+        import matplotlib.pyplot as plt
+
+        slide = OpenSlide(path)
         try:
-            from healnet_tpu.etl.slides import OpenSlide, openslide_available
-
-            if not openslide_available():
-                return
-            path = self.raw_path / f"{slide_id}.svs"
-            if not path.exists():
-                return
-            import matplotlib.pyplot as plt
-
-            slide = OpenSlide(path)
             size0 = (
                 int(patch_size[0] * scale_factor),
                 int(patch_size[1] * scale_factor),
@@ -344,8 +347,8 @@ class Explainer:
                     self.expl_dir / f"{self.save_name}_patch_{rank}_high_res.png",
                     crop.astype(np.uint8),
                 )
-        except Exception as exc:  # pragma: no cover
-            print(f"high-res patch extraction unavailable ({exc})")
+        finally:
+            slide.close()
 
     def _read_slide_image(self, slide_id: str):
         """(slide RGB at self.level, level0->level scale) or (None, 1)."""

@@ -397,6 +397,22 @@ class SurvivalTrainer:
 
         history = []
         train_loss = train_c = val_loss = val_c = float("nan")
+        if start_epoch > self.epochs:
+            # the fold already finished in a previous run: don't return NaN
+            # metrics from an empty epoch loop — re-evaluate the restored
+            # params so the fold summary stays real
+            if verbose:
+                print(
+                    f"Fold already complete at epoch {start_epoch - 1}; "
+                    "re-evaluating restored checkpoint"
+                )
+            train_loss, train_c = self.evaluate(train_data)
+            val_loss, val_c = self.evaluate(val_data)
+            history.append(
+                dict(epoch=start_epoch - 1, train_loss=train_loss,
+                     train_c_index=train_c, val_loss=val_loss,
+                     val_c_index=val_c, seconds=0.0, resumed_complete=True)
+            )
         for epoch in range(start_epoch, self.epochs + 1):
             t0 = time.time()
             losses, risks, cens, times, masks = [], [], [], [], []
@@ -438,11 +454,20 @@ class SurvivalTrainer:
                 masks.append(meta["sample_mask"])
 
             mask = np.concatenate(masks) > 0
-            # weight each batch's (per-valid-row mean) loss by its valid count
-            # so a padded trailing batch doesn't get outsized weight
-            valid = np.asarray([m.sum() for m in masks])
+            # weight each batch's loss by the count its own normalizer used:
+            # event count for cox, valid-row count otherwise (so a padded
+            # trailing batch doesn't get outsized weight) — same rule as
+            # evaluate()
+            if self.loss_type == "cox":
+                valid = np.asarray(
+                    [((1.0 - c) * m).sum() for c, m in zip(cens, masks)]
+                )
+            else:
+                valid = np.asarray([m.sum() for m in masks])
             batch_losses = np.asarray([np.asarray(l) for l in losses])
-            train_loss = float((batch_losses * valid).sum() / valid.sum())
+            train_loss = float(
+                (batch_losses * valid).sum() / max(float(valid.sum()), 1.0)
+            )
             try:
                 train_c = concordance_index_censored(
                     (1 - np.concatenate(cens)[mask]).astype(bool),

@@ -46,7 +46,7 @@ def _stage_metrics(stages, targets_onehot, sample_mask):
         for d in range(n_dec):
             logits = stages[s][d]
             pred = jnp.argmax(logits, axis=-1)
-            loss_m = loss_m.at[s, d].set(_softmax_ce(logits, targets_onehot))
+            loss_m = loss_m.at[s, d].set(_softmax_ce(logits, targets_onehot, w))
             acc_m = acc_m.at[s, d].set(jnp.sum((pred == target_cls) * w) / denom)
             if logits.shape[-1] == 2:  # binary: confusion counts (`multimodn.py:161-175`)
                 pos, ppos = target_cls == 1, pred == 1
@@ -106,15 +106,18 @@ class MultiModNTrainer:
 
     def _build(self, example: Dict[str, Any]):
         targets = jax.nn.one_hot(example["y_disc"], self.n_classes)
-        self.params = self.module.init(
-            jax.random.PRNGKey(self.seed), example["tensors"], targets
-        )["params"]
-        self.opt_state = self._opt.init(self.params)
+        if self.params is None:  # keep externally loaded weights
+            self.params = self.module.init(
+                jax.random.PRNGKey(self.seed), example["tensors"], targets
+            )["params"]
+        if self.opt_state is None:
+            self.opt_state = self._opt.init(self.params)
 
         def forward_metrics(params, batch):
             targets = jax.nn.one_hot(batch["y_disc"], self.n_classes)
             stages, state_changes, loss = self.module.apply(
-                {"params": params}, batch["tensors"], targets, return_stages=True
+                {"params": params}, batch["tensors"], targets, return_stages=True,
+                sample_weights=batch["sample_mask"],
             )
             metrics = _stage_metrics(stages, targets, batch["sample_mask"])
             metrics["state_change"] = state_changes
@@ -141,7 +144,10 @@ class MultiModNTrainer:
         if self._train_step is None:
             self._build(next(self._batches(data)))
         sums, count = None, 0
-        for batch in self._batches(data, shuffle=True, rng=rng or np.random.default_rng(self.seed)):
+        # per-epoch default rng: a fresh identical seed every call would
+        # replay the same batch order each epoch
+        rng = rng or np.random.default_rng(self.seed + epoch)
+        for batch in self._batches(data, shuffle=True, rng=rng):
             self.params, self.opt_state, loss, metrics = self._train_step(
                 self.params, self.opt_state, batch
             )

@@ -374,3 +374,15 @@ def test_feature_dtype_float16(ragged_tcga_root):
     # f32 default unchanged
     ds32 = TCGADataset("brca", _config(root), n_bins=4)
     assert next(ds32.iter_batches(4))["tensors"][1].dtype == np.float32
+
+
+def test_bucketing_works_with_explicit_max_patches(ragged_tcga_root):
+    # review r2: an explicit data.max_patches must not silently disable
+    # bucketing (bag sizes are scanned regardless)
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4, max_patches=6)
+    batches = list(ds.iter_batches(4, bucket_boundaries=[3, 6]))
+    widths = {b["tensors"][1].shape[1] for b in batches}
+    assert 3 in widths, "small bucket must be used with explicit max_patches"

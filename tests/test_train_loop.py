@@ -150,3 +150,37 @@ def test_checkpointer_roundtrip(tmp_path):
     ckpt.save_best(params, metrics={"c": 0.7})
     best = ckpt.restore_best()
     np.testing.assert_allclose(np.asarray(best["dense"]["bias"]), 0.0)
+
+
+def test_resume_of_finished_fold_returns_real_metrics(tmp_path):
+    # review r2: resuming a fold whose epochs are all checkpointed must not
+    # return NaN metrics from an empty epoch loop
+    train = _synthetic_survival(n=24, seed=0)
+    val = _synthetic_survival(n=16, seed=1)
+
+    def trainer():
+        return SurvivalTrainer(
+            _module(), batch_size=8, epochs=2, early_stopping=False, seed=0,
+            checkpoint_dir=str(tmp_path / "ckpt"), resume=True,
+        )
+
+    trainer().fit(train, val, verbose=False)           # completes 2 epochs
+    res = trainer().fit(train, val, verbose=False)     # fully resumed
+    assert np.isfinite(res["train_loss"])
+    assert np.isfinite(res["val_loss"])
+    assert res["history"][-1].get("resumed_complete") is True
+
+
+def test_cox_train_loss_event_weighted():
+    # review r2: cox train-epoch aggregation weights by event counts (the
+    # loss's own normalizer), matching evaluate()
+    train = _synthetic_survival(n=24, seed=0)
+    # force a mixed censoring pattern
+    train["censorship"] = np.asarray([1, 0] * 12, np.float32)
+    val = _synthetic_survival(n=16, seed=1)
+    trainer = SurvivalTrainer(
+        _module(), loss_type="cox", batch_size=8, epochs=1,
+        early_stopping=False, gc_compat=1, seed=0,
+    )
+    res = trainer.fit(train, val, verbose=False)
+    assert np.isfinite(res["train_loss"])
