@@ -167,8 +167,12 @@ class HealNetModule(nn.Module):
         input_dims = self.input_dims()
         b = tensors[0].shape[0]
 
-        # ---- per-modality preprocessing: Fourier encode + flatten spatial axes
-        contexts: List[jnp.ndarray] = []
+        # ---- per-modality preprocessing: Fourier encode + flatten spatial
+        # axes. The raw data and the (batch-shared) positional encoding are
+        # kept as SEPARATE parts: the merged-KV path projects the raw context
+        # directly and applies normalization on the projection output, so the
+        # concatenated context never materializes in HBM.
+        context_parts: List[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = []
         for i, data in enumerate(tensors):
             spatial = data.shape[1:-1]
             assert len(spatial) == self.num_spatial_axes[i], (
@@ -176,36 +180,42 @@ class HealNetModule(nn.Module):
                 f"axes as the num_spatial_axes parameter"
             )
             if self.dtype is not None:
-                # cast once here: every fusion layer re-reads the context for
-                # its LayerNorm + kv projection, so context bytes dominate the
-                # step's HBM traffic — bf16 halves it
+                # cast once here: the context bytes dominate the step's HBM
+                # traffic — bf16 halves it
                 data = data.astype(self.dtype)
+            enc_flat = None
             if self.fourier_encode_data:
                 enc = positional_encoding(
                     spatial, self.max_freq, self.num_freq_bands, dtype=data.dtype
                 )
-                enc = jnp.broadcast_to(enc, (b, *enc.shape))
-                data = jnp.concatenate([data, enc], axis=-1)
-            contexts.append(data.reshape(b, -1, data.shape[-1]))
+                enc_flat = enc.reshape(-1, enc.shape[-1])        # (tokens, E)
+            context_parts.append(
+                (data.reshape(b, -1, data.shape[-1]), enc_flat)
+            )
 
-        # ---- normalize each context ONCE (shared x_hat). LayerNorm statistics
-        # are layer-independent, so every layer's `norm_context` affine folds
-        # into its to_kv weights (FoldedKV) — per layer this removes a
-        # context-sized LN-output write+read and a context-sized residual for
-        # the backward pass, the dominant HBM traffic at WSI scale (the raw
-        # context is ~134 MB for a 4k x 2048 bag at batch 8).
-        normed_contexts: List[jnp.ndarray] = []
-        for ctx in contexts:
-            xf = ctx.astype(jnp.float32)
-            mu = jnp.mean(xf, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
-            xhat = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
-            normed_contexts.append(xhat.astype(ctx.dtype))
-        contexts = normed_contexts
+        # remat path only: materialized, normalized concat contexts (shared
+        # x_hat; each layer's LayerNorm affine folds into its to_kv weights).
+        # LayerNorm statistics are layer-independent, so one normalization
+        # serves every fusion layer.
+        contexts: List[jnp.ndarray] = []
+        if self.remat:
+            for dat, enc_flat in context_parts:
+                ctx = dat
+                if enc_flat is not None:
+                    ctx = jnp.concatenate(
+                        [dat, jnp.broadcast_to(enc_flat, (b, *enc_flat.shape))],
+                        axis=-1,
+                    )
+                xf = ctx.astype(jnp.float32)
+                mu = jnp.mean(xf, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+                xhat = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+                contexts.append(xhat.astype(ctx.dtype))
 
+        cdt = context_parts[0][0].dtype
         if presence is None:
-            presence = jnp.ones((b, self.n_modalities), dtype=contexts[0].dtype)
-        presence = presence.astype(contexts[0].dtype)
+            presence = jnp.ones((b, self.n_modalities), dtype=cdt)
+        presence = presence.astype(cdt)
         if kv_masks is None:
             kv_masks = [None] * self.n_modalities
 
@@ -285,24 +295,55 @@ class HealNetModule(nn.Module):
                 "self_ffs": self_ffs,
             }
 
-        # ---- merged KV projections: every fusion layer's KV depends only on
-        # the (shared, normalized) context, so all unique layer groups project
-        # in ONE matmul per modality with their LayerNorm affines folded into
-        # the concatenated weights — a single context read covers the whole
-        # forward, and its transpose a single read in the backward. Disabled
-        # under remat (whose point is recomputing per block).
+        # ---- merged KV projections over the RAW context: every fusion
+        # layer's KV depends only on the context, so all unique layer groups
+        # project in ONE matmul per modality with their LayerNorm affines
+        # folded into the concatenated weights. The per-token LayerNorm
+        # commutes with the projection:
+        #
+        #   x_hat @ W = (1/σ) (ctx @ W_c + enc @ W_e − μ · colsum(W))
+        #
+        # so the normalization applies on the TINY projection output
+        # (tokens x Σfeatures) instead of the 2k-channel context. Per step
+        # the context is read exactly twice in the forward (fused sum/sum-sq
+        # statistics pass + the MXU matmul) and once in the backward (dW) —
+        # no context-sized concat, x_hat, or LN output ever hits HBM.
+        # Disabled under remat (whose point is recomputing per block).
         kv_cache = {}
         if not self.remat:
             group_keys = list(groups.keys())
-            for i, ctx in enumerate(contexts):
+            for i, (dat, enc_flat) in enumerate(context_parts):
                 folds = [groups[key]["cross_attns"][i].kv_fold() for key in group_keys]
-                w_all = jnp.concatenate([w for w, _ in folds], axis=1)
-                b_all = jnp.concatenate([fb for _, fb in folds])
-                x_in = ctx if self.dtype is None else ctx.astype(self.dtype)
-                w_c = w_all if self.dtype is None else w_all.astype(self.dtype)
-                kv_all = x_in @ w_c + b_all.astype(
-                    jnp.result_type(x_in.dtype, w_c.dtype)
-                )
+                w_all = jnp.concatenate([w for w, _ in folds], axis=1)  # (D, F) f32
+                b_all = jnp.concatenate([fb for _, fb in folds])        # (F,)
+                c_dim = dat.shape[-1]
+                w_c, w_e = w_all[:c_dim], w_all[c_dim:]
+                colsum = jnp.sum(w_all, axis=0)                         # (F,)
+                d_total = w_all.shape[0]
+
+                # per-token LayerNorm statistics over [data | enc] channels
+                # (single fused read of the context; enc stats broadcast)
+                xf = dat.astype(jnp.float32)
+                s1 = jnp.sum(xf, axis=-1)                               # (b, T)
+                s2 = jnp.sum(jnp.square(xf), axis=-1)
+                if enc_flat is not None:
+                    ef = enc_flat.astype(jnp.float32)
+                    s1 = s1 + jnp.sum(ef, axis=-1)                      # + (T,)
+                    s2 = s2 + jnp.sum(jnp.square(ef), axis=-1)
+                mu = s1 / d_total
+                var = s2 / d_total - jnp.square(mu)
+                inv = jax.lax.rsqrt(var + 1e-5)                         # (b, T)
+
+                w_cast = w_c if self.dtype is None else w_c.astype(self.dtype)
+                raw = dat @ w_cast                                      # (b, T, F)
+                if enc_flat is not None:
+                    we_cast = w_e if self.dtype is None else w_e.astype(self.dtype)
+                    raw = raw + enc_flat @ we_cast                      # + (T, F)
+                kv_all = (
+                    inv[..., None]
+                    * (raw.astype(jnp.float32) - mu[..., None] * colsum)
+                    + b_all
+                ).astype(dat.dtype)
                 offset = 0
                 for key, (w, _) in zip(group_keys, folds):
                     kv_cache[(key, i)] = kv_all[:, :, offset : offset + w.shape[1]]
@@ -312,7 +353,7 @@ class HealNetModule(nn.Module):
         latents = self.param(
             "latents", nn.initializers.normal(stddev=1.0), (self.l_c, self.l_d)
         )
-        x = jnp.broadcast_to(latents.astype(contexts[0].dtype), (b, self.l_c, self.l_d))
+        x = jnp.broadcast_to(latents.astype(cdt), (b, self.l_c, self.l_d))
 
         # ---- iterative fusion (`healnet.py:227-245`)
         for layer in range(self.depth):
