@@ -72,7 +72,9 @@ class Pipeline:
 
         self.tracker = Tracker(
             project="healnet_tpu",
-            name=wandb_name,
+            # `run_name` pins the log/checkpoint dir so a re-launched process
+            # can find per-fold checkpoints (train_loop.resume across crashes)
+            name=wandb_name or self.config.get("run_name"),
             config=dict(self.config),
             log_dir=self.config.get("log_path", "logs"),
             use_wandb=bool(self.config.get("wandb", False)),

@@ -314,3 +314,32 @@ def test_pipeline_checkpoint_resume_mid_run(tcga_tree, tmp_path):
     from healnet_tpu.train.checkpoint import Checkpointer
 
     assert Checkpointer(ckpt_dirs[0]).latest_step() == 4
+
+
+def test_pipeline_run_name_resume_across_relaunch(tcga_tree, tmp_path):
+    """`run_name` pins the log dir, so a RE-LAUNCHED run (fresh Pipeline, no
+    shared state) finds the previous launch's fold checkpoints by path alone —
+    the real crash-recovery contract (reference loses everything,
+    `main.py:397-399`)."""
+    common = dict(
+        run_name="resume_smoke",
+        train_loop={"batch_size": 8, "epochs": 2, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1, "checkpoint": True,
+                    "resume": True},
+    )
+    p1 = Pipeline(config=_config(tcga_tree, tmp_path, **common))
+    p1.main()
+    log_dir = Path(p1.tracker.log_dir)
+    assert log_dir.name == "resume_smoke"
+    assert (log_dir / "fold_1_checkpoints").exists()
+
+    # relaunch with more epochs: must resume from epoch 2, not restart
+    cfg2 = _config(tcga_tree, tmp_path, **common)
+    cfg2["train_loop"]["epochs"] = 3
+    p2 = Pipeline(config=cfg2)
+    assert Path(p2.tracker.log_dir) == log_dir  # same dir, no monkeypatch
+    p2.main()
+
+    from healnet_tpu.train.checkpoint import Checkpointer
+
+    assert Checkpointer(log_dir / "fold_1_checkpoints").latest_step() == 3
