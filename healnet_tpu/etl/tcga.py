@@ -150,6 +150,21 @@ class TCGADataset(Dataset):
         self.patch_attention = bool(
             config.get("patch_attention", False) if hasattr(config, "get") else False
         )
+        # device_cache=True: batches carry (patch_offsets, patch_lengths)
+        # into a device-resident feature arena instead of the slide tensors
+        # themselves — the trainer uploads ALL patch features to HBM once per
+        # run and gathers each batch's bags on-device, so the per-epoch
+        # host->device stream shrinks from the full feature volume to a few
+        # KB of indices (requires patch_attention; see
+        # :meth:`feature_arena`).
+        self.device_cache = bool(
+            config.get(
+                "data.device_cache",
+                config.get("data", {}).get("device_cache", False),
+            )
+            if hasattr(config, "get")
+            else False
+        ) and self.patch_attention and "slides" in self.sources
 
         self.omic_df = self.load_omic()
         self.features = self.omic_df.drop(
@@ -286,6 +301,56 @@ class TCGADataset(Dataset):
                 feats = torch.load(f, weights_only=True).numpy()
         return np.asarray(feats, dtype=self.feature_dtype)
 
+    # ---------------------------------------------------- device-side arena
+    def _arena_index(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(offsets, lengths) int32 per dataset index — no feature IO.
+
+        Derived from the npy-header bag-size scan; lengths are capped at
+        ``max_patches`` exactly as :meth:`_slide_tensor` truncates.
+        """
+        if getattr(self, "_arena_offsets", None) is not None:
+            return self._arena_offsets, self._arena_lengths
+        sizes = getattr(self, "_bag_sizes", None)
+        assert sizes, (
+            "device_cache needs .npy patch features (bag sizes scanned from "
+            "headers); the .pt-only layout is not supported"
+        )
+        lengths = np.empty(len(self), dtype=np.int32)
+        for i in range(len(self)):
+            sid = self.omic_df.iloc[i]["slide_id"].rsplit(".", 1)[0]
+            n = int(sizes[sid])
+            lengths[i] = min(n, self.max_patches) if self.max_patches else n
+        offsets = np.zeros(len(self), dtype=np.int32)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        self._arena_offsets, self._arena_lengths = offsets, lengths
+        return offsets, lengths
+
+    def feature_arena(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(arena, offsets, lengths): every slide's patch features, packed.
+
+        ``arena`` is ``(sum(lengths) + max_patches, feature_dim)`` in
+        ``feature_dtype`` — the trailing ``max_patches`` zero rows guarantee a
+        fixed-width ``dynamic_slice`` window starting at any offset stays in
+        bounds (out-of-bag rows are masked by the per-sample KV masks). The
+        trainer uploads it to HBM once; epochs then stream only indices.
+        Built lazily and cached on the dataset, so k-fold views share one copy.
+        """
+        if getattr(self, "_arena", None) is not None:
+            return self._arena, self._arena_offsets, self._arena_lengths
+        offsets, lengths = self._arena_index()
+        pad = int(self.max_patches or 0)
+        total = int(lengths.sum()) + pad
+        dim = int(self.load_patch_features(
+            self.omic_df.iloc[0]["slide_id"].rsplit(".", 1)[0]
+        ).shape[1])
+        arena = np.zeros((total, dim), dtype=self.feature_dtype)
+        for i in range(len(self)):
+            sid = self.omic_df.iloc[i]["slide_id"].rsplit(".", 1)[0]
+            feats = self.load_patch_features(sid)[: lengths[i]]
+            arena[offsets[i] : offsets[i] + lengths[i]] = feats
+        self._arena = arena
+        return arena, offsets, lengths
+
     def _slide_tensor(self, index: int, pad_to: Optional[int] = None) -> Tuple[np.ndarray, int]:
         """(static-shape slide tensor, n_valid_patches) — ragged bags padded.
 
@@ -405,7 +470,7 @@ class TCGADataset(Dataset):
             if drop_remainder and sel.shape[0] < batch_size:
                 return
             # overlap next batch's feature-file IO with this batch's compute
-            if self._native is not None and uses_slides:
+            if self._native is not None and uses_slides and not self.device_cache:
                 lookahead = idx[start + batch_size : start + 2 * batch_size]
                 paths = [
                     self._npy_path(
@@ -426,6 +491,35 @@ class TCGADataset(Dataset):
         if pad > 0:
             sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
             mask[batch_size - pad :] = 0.0
+
+        if self.device_cache:
+            # arena mode: no feature IO — the batch carries indices into the
+            # device-resident arena; the trainer gathers on-device. The KV
+            # mask's width is the bucket boundary, so jit still specialises
+            # one program per bucket exactly as in the host-tensor path.
+            width = int(pad_to if pad_to is not None else self.max_patches)
+            offsets, lengths = self._arena_index()
+            n_valid = np.minimum(lengths[sel], width).astype(np.int32)
+            batch = {
+                "tensors": (
+                    (np.stack([self.omic_tensor[int(i)] for i in sel]),)
+                    if "omic" in self.sources
+                    else ()
+                ),
+                "censorship": self.censorship[sel].astype(np.float32),
+                "event_time": self.survival_months[sel].astype(np.float32),
+                "y_disc": self.y_disc[sel].astype(np.int32),
+                "sample_mask": mask,
+                "patch_offsets": offsets[sel].astype(np.int32),
+                "patch_lengths": n_valid,
+            }
+            kv_masks: List[Optional[np.ndarray]] = [None] * (
+                len(batch["tensors"]) + 1
+            )
+            kv_masks[-1] = np.arange(width)[None, :] < n_valid[:, None]
+            batch["kv_masks"] = tuple(kv_masks)
+            return batch
+
         samples = [self._sample(int(i), pad_to=pad_to) for i in sel]
         n_mod = len(samples[0][0])
         batch = {

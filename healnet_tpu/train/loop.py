@@ -131,7 +131,14 @@ class SurvivalTrainer:
         accum_steps: int = 1,
         prefetch: int = 2,
         bucket_boundaries: Optional[Sequence[int]] = None,
+        feature_arena: Optional[Any] = None,
     ):
+        # feature_arena: (arena, offsets, lengths) from
+        # TCGADataset.feature_arena() (or the bare arena array) — uploaded to
+        # HBM ONCE; batches then carry (patch_offsets, patch_lengths) and the
+        # jitted step gathers each bag with vmap(dynamic_slice). Kills the
+        # per-epoch feature H2D stream (the dominant cost at WSI scale when
+        # the host link is slow); HBM cost = the full feature volume.
         # mesh: a jax.sharding.Mesh -> the train/eval steps run SPMD over it
         # (batch over 'data', patch tokens over 'seq', Megatron TP over
         # 'model' when tensor_parallel). None = single-device jit.
@@ -180,11 +187,30 @@ class SurvivalTrainer:
         self.bucket_boundaries = (
             tuple(int(b) for b in bucket_boundaries) if bucket_boundaries else None
         )
+        if feature_arena is not None and not isinstance(feature_arena, (tuple, list)):
+            feature_arena = (feature_arena, None, None)
+        self._arena_host = None if feature_arena is None else feature_arena[0]
+        self._arena = None  # device-resident copy, placed lazily
         self.params = None
         self.opt_state = None
         self._opt = None
         self._train_step = None
         self._eval_step = None
+
+    def _device_arena(self):
+        """Upload the feature arena to HBM once (replicated under a mesh)."""
+        if self._arena_host is None:
+            return None
+        if self._arena is None:
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self._arena = jax.device_put(
+                    self._arena_host, NamedSharding(self.mesh, PartitionSpec())
+                )
+            else:
+                self._arena = jax.device_put(self._arena_host)
+        return self._arena
 
     # ------------------------------------------------------------- building
     def _surv_loss(self, logits, batch):
@@ -239,8 +265,28 @@ class SurvivalTrainer:
             return True
         return False
 
-    def _forward(self, params, batch, deterministic, rng=None):
+    @staticmethod
+    def _gather_arena(arena, batch):
+        """On-device bag gather: arena rows -> (b, width, dim) slide tensor.
+
+        ``width`` is static (the KV mask's trailing dim = the bucket
+        boundary), so each bucket keeps exactly one compiled program; the
+        arena's trailing zero-pad rows make every fixed-width window
+        in-bounds, and out-of-bag rows are masked by the KV mask.
+        """
+        width = batch["kv_masks"][-1].shape[1]
+        dim = arena.shape[1]
+
+        def slice_one(off):
+            return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
+
+        slide = jax.vmap(slice_one)(batch["patch_offsets"].astype(jnp.int32))
+        return tuple(batch["tensors"]) + (slide,)
+
+    def _forward(self, params, batch, deterministic, rng=None, arena=None):
         """Apply the module; returns (logits, model_loss) for aux-loss models."""
+        if arena is not None and batch.get("patch_offsets") is not None:
+            batch = dict(batch, tensors=self._gather_arena(arena, batch))
         rngs = {"dropout": rng} if rng is not None else {}
         if self.aux_loss:
             n_bins = self.n_bins
@@ -275,9 +321,11 @@ class SurvivalTrainer:
         l1 = 0.0 if self._reg_skip() else self.l1
         gc = float(self.gc_compat)
 
-        def loss_and_grads(params, batch, rng):
+        def loss_and_grads(params, batch, rng, arena):
             def loss_fn(p):
-                logits, model_loss = self._forward(p, batch, deterministic=False, rng=rng)
+                logits, model_loss = self._forward(
+                    p, batch, deterministic=False, rng=rng, arena=arena
+                )
                 surv_loss, risk = self._surv_loss(logits, batch)
                 reg = l1 * l1_norm(p) if l1 > 0 else 0.0
                 total = surv_loss / gc + reg + model_loss
@@ -286,9 +334,9 @@ class SurvivalTrainer:
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             return grads, aux
 
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, arena=None):
             if self.accum_steps == 1:
-                grads, (surv_loss, risk) = loss_and_grads(params, batch, rng)
+                grads, (surv_loss, risk) = loss_and_grads(params, batch, rng, arena)
             else:
                 # split the batch into micro-batches and scan: grads are
                 # averaged, activations live one micro-batch at a time.
@@ -306,7 +354,9 @@ class SurvivalTrainer:
                 def body(carry, mb_and_rng):
                     grads_acc, loss_acc = carry
                     mb, key = mb_and_rng
-                    grads, (surv_loss, risk) = loss_and_grads(params, mb, key)
+                    # arena rides outside the scan carry/xs: it is identical
+                    # for every micro-batch (never split)
+                    grads, (surv_loss, risk) = loss_and_grads(params, mb, key, arena)
                     grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                     return (grads_acc, loss_acc + surv_loss), risk
 
@@ -323,8 +373,10 @@ class SurvivalTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, surv_loss, risk
 
-        def eval_step(params, batch):
-            logits, model_loss = self._forward(params, batch, deterministic=True)
+        def eval_step(params, batch, arena=None):
+            logits, model_loss = self._forward(
+                params, batch, deterministic=True, arena=arena
+            )
             surv_loss, risk = self._surv_loss(logits, batch)
             return surv_loss + model_loss, risk, logits
 
@@ -334,10 +386,22 @@ class SurvivalTrainer:
     # ------------------------------------------------------------- training
     def init_params(self, data: Dict[str, Any]):
         batch = next(iterate_batches(data, self.batch_size))
+        tensors = batch["tensors"]
+        if self._arena_host is not None and batch.get("patch_offsets") is not None:
+            # arena mode: reconstruct the slide tensor host-side for shape
+            # inference at init (one batch; training gathers on-device)
+            width = batch["kv_masks"][-1].shape[1]
+            slide = np.stack(
+                [
+                    self._arena_host[off : off + width]
+                    for off in batch["patch_offsets"]
+                ]
+            )
+            tensors = tuple(tensors) + (slide,)
         key = jax.random.PRNGKey(self.seed)
         variables = self.module.init(
             {"params": key, "dropout": key},
-            tuple(jnp.asarray(t) for t in batch["tensors"]),
+            tuple(jnp.asarray(t) for t in tensors),
             presence=(
                 jnp.asarray(batch["presence"]) if "presence" in batch else None
             ),
@@ -445,7 +509,8 @@ class SurvivalTrainer:
             for device_batch, meta in placed:
                 rng, step_rng = jax.random.split(rng)
                 self.params, self.opt_state, loss, risk = self._train_step(
-                    self.params, self.opt_state, device_batch, step_rng
+                    self.params, self.opt_state, device_batch, step_rng,
+                    self._device_arena(),
                 )
                 losses.append(loss)
                 risks.append(np.asarray(risk))
@@ -566,7 +631,9 @@ class SurvivalTrainer:
                     drop = 1
                 presence[:, drop] = 0.0
                 batch["presence"] = presence
-            loss, risk, _ = self._eval_step(self.params, self._place(batch))
+            loss, risk, _ = self._eval_step(
+                self.params, self._place(batch), self._device_arena()
+            )
             losses.append(np.asarray(loss))
             risks.append(np.asarray(risk))
             cens.append(batch["censorship"])

@@ -193,9 +193,15 @@ class Pipeline:
         model_name = self.config["model"]
         mp = lambda key: self.config[f"model_params.{key}"]
 
+        # arena-mode batches carry indices instead of the slide tensor; the
+        # feature dim comes from the arena itself
+        slide_dim = example_batch.get("arena_dim")
+        if slide_dim is None and len(feat) > 1:
+            slide_dim = feat[1].shape[2]
+
         if model_name in ("healnet", "healnet_early"):
             if model_name == "healnet" and len(self.sources) == 2:
-                input_channels = (feat[0].shape[2], feat[1].shape[2])
+                input_channels = (feat[0].shape[2], slide_dim)
                 input_axes, modalities = (1, 1), 2
             else:  # single source, or early fusion concat (one modality)
                 input_channels = (feat[0].shape[2],)
@@ -232,7 +238,7 @@ class Pipeline:
         if model_name == "multimodn":
             state_size = 2000
             tab_features = int(np.prod(feat[0].shape[1:]))
-            patch_dims = feat[1].shape[2]
+            patch_dims = slide_dim
             return MultiModNModule(
                 state_size=state_size,
                 encoders=[
@@ -273,6 +279,18 @@ class Pipeline:
             from healnet_tpu.parallel import make_mesh
 
             mesh = make_mesh()  # all visible devices, (data, seq, model)
+
+        # data.device_cache: pack ALL patch features into one host arena;
+        # the trainer uploads it to HBM once and every epoch streams only
+        # indices (k-fold views share the parent dataset's single arena)
+        feature_arena = None
+        parent = getattr(train_view, "parent", train_view)
+        if getattr(parent, "device_cache", False):
+            feature_arena = parent.feature_arena()
+            example_batch = dict(
+                example_batch, arena_dim=feature_arena[0].shape[1]
+            )
+
         model = self.make_model(example_batch, mesh=mesh)
         model_name = self.config["model"]
         return SurvivalTrainer(
@@ -296,6 +314,7 @@ class Pipeline:
             bucket_boundaries=self.config.get("train_loop.bucket_boundaries"),
             checkpoint_dir=self._fold_checkpoint_dir(fold),
             resume=bool(self.config.get("train_loop.resume", False)),
+            feature_arena=feature_arena,
         )
 
     def _fold_checkpoint_dir(self, fold: int):

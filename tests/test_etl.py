@@ -386,3 +386,50 @@ def test_bucketing_works_with_explicit_max_patches(ragged_tcga_root):
     batches = list(ds.iter_batches(4, bucket_boundaries=[3, 6]))
     widths = {b["tensors"][1].shape[1] for b in batches}
     assert 3 in widths, "small bucket must be used with explicit max_patches"
+
+
+def test_feature_arena_layout(ragged_tcga_root):
+    """device_cache: packed arena rows match the per-slide features; offsets
+    and lengths index the pack; the tail zero-pad keeps any fixed-width
+    window in bounds."""
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    cfg["data.device_cache"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    assert ds.device_cache
+    arena, offsets, lengths = ds.feature_arena()
+    assert arena.shape[0] == sum(counts) + ds.max_patches
+    assert np.all(arena[-ds.max_patches:] == 0)
+    for i in range(len(ds)):
+        sid = ds.omic_df.iloc[i]["slide_id"].rsplit(".", 1)[0]
+        feats = ds.load_patch_features(sid)
+        assert lengths[i] == feats.shape[0]
+        np.testing.assert_array_equal(
+            arena[offsets[i] : offsets[i] + lengths[i]], feats
+        )
+    # cached: second call returns the same object
+    assert ds.feature_arena()[0] is arena
+
+
+def test_iter_batches_device_cache(ragged_tcga_root):
+    """Arena-mode batches carry indices + KV masks, not slide tensors."""
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    cfg["data.device_cache"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    _, offsets, lengths = ds.feature_arena()
+    seen = 0
+    for batch in ds.iter_batches(4, bucket_boundaries=[3, 6]):
+        assert len(batch["tensors"]) == 1  # omic only — no slide bytes
+        width = batch["kv_masks"][-1].shape[1]
+        assert width in (3, 6)
+        assert batch["patch_offsets"].dtype == np.int32
+        assert np.all(batch["patch_lengths"] <= width)
+        np.testing.assert_array_equal(
+            batch["kv_masks"][-1],
+            np.arange(width)[None, :] < batch["patch_lengths"][:, None],
+        )
+        seen += int(batch["sample_mask"].sum())
+    assert seen == len(ds)

@@ -343,3 +343,22 @@ def test_pipeline_run_name_resume_across_relaunch(tcga_tree, tmp_path):
     from healnet_tpu.train.checkpoint import Checkpointer
 
     assert Checkpointer(log_dir / "fold_1_checkpoints").latest_step() == 3
+
+
+def test_pipeline_device_cache_matches_host_path(ragged_tcga_tree, tmp_path):
+    """data.device_cache: the on-device arena gather must reproduce the
+    host-fed training trajectory exactly — padding windows read neighbouring
+    arena rows instead of zeros, but those tokens are KV-masked so logits,
+    losses, and c-indices are bit-identical."""
+    common = dict(
+        patch_attention=True,
+        train_loop={"batch_size": 4, "epochs": 2, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1,
+                    "bucket_boundaries": [3, 6]},
+    )
+    host = Pipeline(config=_config(ragged_tcga_tree, tmp_path, **common)).main()
+    cfg = _config(ragged_tcga_tree, tmp_path, **common)
+    cfg["data"]["device_cache"] = True
+    arena = Pipeline(config=cfg).main()
+    for key in ("mean_train_c_index", "mean_val_c_index", "mean_test_c_index"):
+        np.testing.assert_allclose(arena[key], host[key], rtol=1e-5, err_msg=key)
