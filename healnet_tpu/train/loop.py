@@ -87,6 +87,9 @@ def iterate_batches(
             batch["kv_masks"] = tuple(
                 None if m is None else np.asarray(m)[sel] for m in data["kv_masks"]
             )
+        for key in ("patch_offsets", "patch_lengths"):  # arena-indexed data
+            if key in data:
+                batch[key] = np.asarray(data[key])[sel].astype(np.int32)
         yield batch
 
 

@@ -80,6 +80,12 @@ class Pipeline:
             use_wandb=bool(self.config.get("wandb", False)),
         )
         self.log_dir = self.tracker.log_dir if self.config.get("explainer") else None
+        # the dataset is fold-independent (only split indices differ), so
+        # build it once per run: the omics join/binning and — crucially — the
+        # device_cache feature arena (host pack + one HBM upload) are shared
+        # across all folds
+        self._dataset = None
+        self._arena_device = None
 
     def _check_config(self) -> None:
         """Whitelist validation (`main.py:78-104`)."""
@@ -159,17 +165,19 @@ class Pipeline:
 
     # ----------------------------------------------------------------- data
     def load_data(self, fold: int = 1):
-        max_patches = self.config.get("data.max_patches")
-        data = TCGADataset(
-            self.config["dataset"],
-            self.config,
-            level=int(self.config["data.wsi_level"]),
-            survival_analysis=True,
-            sources=self.sources,
-            n_bins=self.output_dims,
-            log_dir=self.log_dir,
-            max_patches=None if max_patches in (None, "None", "null") else int(max_patches),
-        )
+        if self._dataset is None:
+            max_patches = self.config.get("data.max_patches")
+            self._dataset = TCGADataset(
+                self.config["dataset"],
+                self.config,
+                level=int(self.config["data.wsi_level"]),
+                survival_analysis=True,
+                sources=self.sources,
+                n_bins=self.output_dims,
+                log_dir=self.log_dir,
+                max_patches=None if max_patches in (None, "None", "null") else int(max_patches),
+            )
+        data = self._dataset
         train_idx, test_idx, val_idx = train_val_test_split(len(data), seed=fold)
         print(
             f"Train samples: {len(train_idx)}, Val samples: {len(val_idx)}, "
@@ -286,9 +294,21 @@ class Pipeline:
         feature_arena = None
         parent = getattr(train_view, "parent", train_view)
         if getattr(parent, "device_cache", False):
-            feature_arena = parent.feature_arena()
+            arena, offsets, lengths = parent.feature_arena()
+            if self._arena_device is None:
+                # one HBM upload per RUN — every fold's trainer receives the
+                # already-resident device array (device_put no-ops on it)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    self._arena_device = jax.device_put(
+                        arena, NamedSharding(mesh, PartitionSpec())
+                    )
+                else:
+                    self._arena_device = jax.device_put(arena)
+            feature_arena = (self._arena_device, offsets, lengths)
             example_batch = dict(
-                example_batch, arena_dim=feature_arena[0].shape[1]
+                example_batch, arena_dim=int(arena.shape[1])
             )
 
         model = self.make_model(example_batch, mesh=mesh)

@@ -187,3 +187,54 @@ def test_global_batch_single_process():
     mesh = make_mesh(8)
     placed = global_batch_from_host_local(_batch(b=8, tokens=16), mesh)
     assert tuple(placed["tensors"][1].sharding.spec)[:2] == (AXIS_DATA, AXIS_SEQ)
+
+
+def test_trainer_arena_gather_on_mesh_matches_host_path():
+    """device-resident arena + 8-device mesh: the on-device bag gather under
+    GSPMD (replicated arena, data-sharded offsets) reproduces the host-fed
+    single-device trajectory."""
+    from healnet_tpu.train import SurvivalTrainer
+
+    n, width, dim = 32, 16, 16
+    r = np.random.default_rng(0)
+    lengths = r.integers(4, width + 1, n).astype(np.int32)
+    offsets = np.zeros(n, dtype=np.int32)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    arena = np.zeros((int(lengths.sum()) + width, dim), dtype=np.float32)
+    rows = r.normal(size=(int(lengths.sum()), dim)).astype(np.float32)
+    arena[: rows.shape[0]] = rows
+    kv_mask = np.arange(width)[None, :] < lengths[:, None]
+
+    def meta(seed):
+        rr = np.random.default_rng(seed)
+        return {
+            "y_disc": rr.integers(0, 4, n).astype(np.int32),
+            "censorship": rr.integers(0, 2, n).astype(np.float32),
+            "event_time": rr.uniform(1, 100, n).astype(np.float32),
+        }
+
+    omic = r.normal(size=(n, 1, 32)).astype(np.float32)
+    slides = np.stack([arena[o : o + width] for o in offsets])
+    host_data = dict(
+        tensors=(omic, slides), kv_masks=(None, kv_mask), **meta(1)
+    )
+    arena_data = dict(
+        tensors=(omic,), kv_masks=(None, kv_mask),
+        patch_offsets=offsets, patch_lengths=lengths, **meta(1),
+    )
+
+    def run(data, mesh, feature_arena):
+        trainer = SurvivalTrainer(
+            _module(), batch_size=8, epochs=2, early_stopping=False,
+            gc_compat=1, seed=0, mesh=mesh, feature_arena=feature_arena,
+        )
+        return trainer.fit(data, data, verbose=False)
+
+    res_host = run(host_data, None, None)
+    res_arena = run(arena_data, make_mesh(8), arena)
+    np.testing.assert_allclose(
+        res_arena["train_loss"], res_host["train_loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        res_arena["val_c_index"], res_host["val_c_index"], rtol=1e-6
+    )

@@ -362,3 +362,30 @@ def test_pipeline_device_cache_matches_host_path(ragged_tcga_tree, tmp_path):
     arena = Pipeline(config=cfg).main()
     for key in ("mean_train_c_index", "mean_val_c_index", "mean_test_c_index"):
         np.testing.assert_allclose(arena[key], host[key], rtol=1e-5, err_msg=key)
+
+
+def test_pipeline_builds_dataset_and_arena_once_across_folds(ragged_tcga_tree, tmp_path, monkeypatch):
+    """k-fold runs share ONE dataset (and one arena upload): only the split
+    indices depend on the fold."""
+    import healnet_tpu.train.pipeline as pl
+
+    calls = {"n": 0}
+    orig = pl.TCGADataset
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "TCGADataset", counted)
+    cfg = _config(
+        ragged_tcga_tree, tmp_path,
+        patch_attention=True, n_folds=2,
+        train_loop={"batch_size": 4, "epochs": 1, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1, "bucket_boundaries": [3, 6]},
+    )
+    cfg["data"]["device_cache"] = True
+    p = Pipeline(config=cfg)
+    summary = p.main()
+    assert calls["n"] == 1
+    assert p._arena_device is not None
+    assert "mean_test_c_index" in summary
