@@ -157,14 +157,30 @@ class TCGADataset(Dataset):
         # host->device stream shrinks from the full feature volume to a few
         # KB of indices (requires patch_attention; see
         # :meth:`feature_arena`).
-        self.device_cache = bool(
+        _dc_requested = bool(
             config.get(
                 "data.device_cache",
                 config.get("data", {}).get("device_cache", False),
             )
             if hasattr(config, "get")
             else False
-        ) and self.patch_attention and "slides" in self.sources
+        )
+        self.device_cache = (
+            _dc_requested
+            and self.patch_attention
+            and "slides" in self.sources
+            and not self.concat
+        )
+        if _dc_requested and not self.device_cache:
+            import warnings
+
+            warnings.warn(
+                "data.device_cache requested but disabled: it requires "
+                "patch_attention=true, a 'slides' source, and a non-concat "
+                "model — this run will stream features host->device every "
+                "epoch",
+                stacklevel=2,
+            )
 
         self.omic_df = self.load_omic()
         self.features = self.omic_df.drop(
@@ -268,6 +284,7 @@ class TCGADataset(Dataset):
                 )
                 shape, _, _ = reader(f)
             self._bag_sizes[sid] = int(shape[0])
+            self._feature_dim = int(shape[1])  # arena width, no data read
             largest = max(largest, shape[0])
         return largest or None
 
@@ -315,13 +332,25 @@ class TCGADataset(Dataset):
             "device_cache needs .npy patch features (bag sizes scanned from "
             "headers); the .pt-only layout is not supported"
         )
+        # duplicate slide_ids (tolerated by load_omic) share ONE arena
+        # segment — each unique slide's features live in HBM exactly once
         lengths = np.empty(len(self), dtype=np.int32)
+        offsets = np.empty(len(self), dtype=np.int32)
+        seg_offset: Dict[str, int] = {}
+        cursor = 0
         for i in range(len(self)):
             sid = self.omic_df.iloc[i]["slide_id"].rsplit(".", 1)[0]
+            assert sid in sizes, (
+                f"device_cache: no .npy patch features for slide {sid} "
+                "(mixed .npy/.pt trees are not supported)"
+            )
             n = int(sizes[sid])
             lengths[i] = min(n, self.max_patches) if self.max_patches else n
-        offsets = np.zeros(len(self), dtype=np.int32)
-        np.cumsum(lengths[:-1], out=offsets[1:])
+            if sid not in seg_offset:
+                seg_offset[sid] = cursor
+                cursor += int(lengths[i])
+            offsets[i] = seg_offset[sid]
+        self._arena_rows = cursor
         self._arena_offsets, self._arena_lengths = offsets, lengths
         return offsets, lengths
 
@@ -339,17 +368,29 @@ class TCGADataset(Dataset):
             return self._arena, self._arena_offsets, self._arena_lengths
         offsets, lengths = self._arena_index()
         pad = int(self.max_patches or 0)
-        total = int(lengths.sum()) + pad
-        dim = int(self.load_patch_features(
-            self.omic_df.iloc[0]["slide_id"].rsplit(".", 1)[0]
-        ).shape[1])
+        total = self._arena_rows + pad
+        dim = int(self._feature_dim)  # recorded by the npy-header scan
         arena = np.zeros((total, dim), dtype=self.feature_dtype)
+        written = set()
         for i in range(len(self)):
             sid = self.omic_df.iloc[i]["slide_id"].rsplit(".", 1)[0]
+            if sid in written:
+                continue  # duplicate omic rows share the segment
+            written.add(sid)
             feats = self.load_patch_features(sid)[: lengths[i]]
             arena[offsets[i] : offsets[i] + lengths[i]] = feats
         self._arena = arena
         return arena, offsets, lengths
+
+    def adopt_device_arena(self, device_arena) -> None:
+        """Swap the cached host arena for its device-resident copy.
+
+        Called by the Pipeline right after the one-time HBM upload: the host
+        numpy pack (gigabytes at WSI scale) is released, and later
+        ``feature_arena()`` calls hand back the device array (numpy-style
+        slicing on it still works for host-side shape/init probes).
+        """
+        self._arena = device_arena
 
     def _slide_tensor(self, index: int, pad_to: Optional[int] = None) -> Tuple[np.ndarray, int]:
         """(static-shape slide tensor, n_valid_patches) — ragged bags padded.
@@ -497,8 +538,8 @@ class TCGADataset(Dataset):
             # device-resident arena; the trainer gathers on-device. The KV
             # mask's width is the bucket boundary, so jit still specialises
             # one program per bucket exactly as in the host-tensor path.
+            offsets, lengths = self._arena_index()  # asserts .npy layout first
             width = int(pad_to if pad_to is not None else self.max_patches)
-            offsets, lengths = self._arena_index()
             n_valid = np.minimum(lengths[sel], width).astype(np.int32)
             batch = {
                 "tensors": (

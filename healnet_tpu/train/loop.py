@@ -284,6 +284,13 @@ class SurvivalTrainer:
             return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
 
         slide = jax.vmap(slice_one)(batch["patch_offsets"].astype(jnp.int32))
+        # zero out-of-bag rows: a fixed-width window past a short bag reads
+        # the NEXT slide's rows. Attention KV-masks them anyway, but models
+        # that pool all tokens unmasked (MultiModN's PatchEncoder, MCAT's
+        # bag net) need the host path's zero padding — and the multiply
+        # fuses into the gather copy, so it is effectively free.
+        mask = batch["kv_masks"][-1]
+        slide = slide * mask[..., None].astype(slide.dtype)
         return tuple(batch["tensors"]) + (slide,)
 
     def _forward(self, params, batch, deterministic, rng=None, arena=None):
@@ -396,9 +403,12 @@ class SurvivalTrainer:
             width = batch["kv_masks"][-1].shape[1]
             slide = np.stack(
                 [
-                    self._arena_host[off : off + width]
+                    np.asarray(self._arena_host[off : off + width])
                     for off in batch["patch_offsets"]
                 ]
+            )
+            slide = slide * np.asarray(batch["kv_masks"][-1])[..., None].astype(
+                slide.dtype
             )
             tensors = tuple(tensors) + (slide,)
         key = jax.random.PRNGKey(self.seed)
@@ -622,7 +632,10 @@ class SurvivalTrainer:
         for batch in iterate_batches(
             data, self.batch_size, bucket_boundaries=self.bucket_boundaries
         ):
-            n_mod = len(batch["tensors"])
+            # arena batches carry the slide modality as indices, not a tensor
+            n_mod = len(batch["tensors"]) + (
+                1 if batch.get("patch_offsets") is not None else 0
+            )
             if missing_mode is not None and n_mod >= 2:
                 presence = np.ones((self.batch_size, n_mod), dtype=np.float32)
                 if missing_mode == "50":

@@ -202,17 +202,18 @@ class Pipeline:
         mp = lambda key: self.config[f"model_params.{key}"]
 
         # arena-mode batches carry indices instead of the slide tensor; the
-        # feature dim comes from the arena itself
+        # feature dim comes from the arena itself (always the LAST modality)
         slide_dim = example_batch.get("arena_dim")
         if slide_dim is None and len(feat) > 1:
             slide_dim = feat[1].shape[2]
-
         if model_name in ("healnet", "healnet_early"):
             if model_name == "healnet" and len(self.sources) == 2:
                 input_channels = (feat[0].shape[2], slide_dim)
                 input_axes, modalities = (1, 1), 2
-            else:  # single source, or early fusion concat (one modality)
-                input_channels = (feat[0].shape[2],)
+            else:  # single source, or early fusion concat (one modality);
+                # slides-only arena batches carry no tensors at all — the
+                # modality is the arena
+                input_channels = (feat[0].shape[2] if len(feat) > 0 else slide_dim,)
                 input_axes, modalities = (1,), 1
             return HealNetModule(
                 n_modalities=modalities,
@@ -306,6 +307,9 @@ class Pipeline:
                     )
                 else:
                     self._arena_device = jax.device_put(arena)
+                # release the multi-GB host pack; the device copy serves
+                # all remaining host-side probes (shape/init slicing)
+                parent.adopt_device_arena(self._arena_device)
             feature_arena = (self._arena_device, offsets, lengths)
             example_batch = dict(
                 example_batch, arena_dim=int(arena.shape[1])

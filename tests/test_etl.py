@@ -433,3 +433,59 @@ def test_iter_batches_device_cache(ragged_tcga_root):
         )
         seen += int(batch["sample_mask"].sum())
     assert seen == len(ds)
+
+
+def test_feature_arena_dedupes_duplicate_slide_ids(tmp_path, rng):
+    """Omic tables may carry duplicate slide_ids (reference tolerates them);
+    the arena stores each unique slide's features ONCE."""
+    root = tmp_path / "tcga_dup"
+    (root / "omic").mkdir(parents=True)
+    patches = root / "wsi" / "brca_preprocessed_level2" / "patches"
+    features = root / "wsi" / "brca_preprocessed_level2" / "patch_features"
+    patches.mkdir(parents=True)
+    features.mkdir(parents=True)
+    counts = [3, 5, 2, 4, 6, 1, 3, 5]
+    sids = [f"TCGA-D{i:03d}" for i in range(len(counts))]
+    for sid, n in zip(sids, counts):
+        (patches / f"{sid}.h5").touch()
+        np.save(features / f"{sid}.npy",
+                rng.normal(size=(n, PATCH_DIM)).astype(np.float32))
+    # last omic row re-references slide 0 (dataset length = slide count, so
+    # the duplicate must sit within the first len(sids) rows to be reachable)
+    rows = sids[:-1] + [sids[0]]
+    df = pd.DataFrame(
+        rng.normal(size=(len(rows), N_FEATS)).astype(np.float32),
+        columns=[f"gene_{i}" for i in range(N_FEATS)],
+    )
+    df["site"] = "b"; df["oncotree_code"] = "x"
+    df["case_id"] = [f"C{i}" for i in range(len(rows))]
+    df["slide_id"] = [s + ".svs" for s in rows]
+    df["train"] = 1
+    df["censorship"] = 0  # all uncensored: qcut needs spread in the subset
+    df["survival_months"] = np.linspace(5, 100, len(rows))
+    df.to_csv(root / "omic" / "tcga_brca_all_clean.csv.zip", compression="zip")
+
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    cfg["data.device_cache"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    arena, offsets, lengths = ds.feature_arena()
+    # one copy per unique REFERENCED slide (slide 7 is never referenced)
+    assert arena.shape[0] == sum(counts[:-1]) + ds.max_patches
+    dup_rows = [
+        i for i in range(len(ds))
+        if ds.omic_df.iloc[i]["slide_id"] == sids[0] + ".svs"
+    ]
+    assert len(dup_rows) == 2
+    assert offsets[dup_rows[0]] == offsets[dup_rows[1]]
+
+
+def test_device_cache_demotion_warns(ragged_tcga_root):
+    """Requesting device_cache without patch_attention must warn, not
+    silently stream features every epoch."""
+    root, _ = ragged_tcga_root
+    cfg = _config(root)
+    cfg["data.device_cache"] = True  # patch_attention left False
+    with pytest.warns(UserWarning, match="device_cache requested but disabled"):
+        ds = TCGADataset("brca", cfg, n_bins=4)
+    assert not ds.device_cache

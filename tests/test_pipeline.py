@@ -389,3 +389,18 @@ def test_pipeline_builds_dataset_and_arena_once_across_folds(ragged_tcga_tree, t
     assert calls["n"] == 1
     assert p._arena_device is not None
     assert "mean_test_c_index" in summary
+
+
+def test_pipeline_device_cache_slides_only(ragged_tcga_tree, tmp_path):
+    """Arena mode with a single 'slides' source: batches carry no tensors at
+    all (the modality IS the arena) — shape inference must use the arena dim."""
+    cfg = _config(
+        ragged_tcga_tree, tmp_path,
+        patch_attention=True,
+        sources=["slides"],
+        train_loop={"batch_size": 4, "epochs": 1, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1, "bucket_boundaries": [3, 6]},
+    )
+    cfg["data"]["device_cache"] = True
+    summary = Pipeline(config=cfg).main()
+    assert "mean_test_c_index" in summary

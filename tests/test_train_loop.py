@@ -184,3 +184,43 @@ def test_cox_train_loss_event_weighted():
     )
     res = trainer.fit(train, val, verbose=False)
     assert np.isfinite(res["train_loss"])
+
+
+def test_missing_ablation_arena_matches_host():
+    """Arena-mode eval must apply missing-modality presence masks: the slide
+    modality arrives as indices, so the modality count includes it (a bare
+    len(batch['tensors']) saw 1 modality and silently skipped the ablation)."""
+    n, width, dim = 24, 10, 16
+    data = _synthetic_survival(n=n, patches=width, patch_d=dim, seed=3)
+    wsi = data["tensors"][1]
+    lengths = np.full(n, width, dtype=np.int32)
+    offsets = (np.arange(n) * width).astype(np.int32)
+    arena = np.concatenate([wsi.reshape(-1, dim),
+                            np.zeros((width, dim), np.float32)])
+    kv_mask = np.ones((n, width), dtype=bool)
+    arena_data = dict(
+        tensors=(data["tensors"][0],), kv_masks=(None, kv_mask),
+        patch_offsets=offsets, patch_lengths=lengths,
+        y_disc=data["y_disc"], censorship=data["censorship"],
+        event_time=data["event_time"],
+    )
+
+    def make(feature_arena):
+        return SurvivalTrainer(
+            _module(), batch_size=8, epochs=1, early_stopping=False,
+            gc_compat=1, seed=0, feature_arena=feature_arena,
+        )
+
+    host = make(None)
+    host.fit(data, data, verbose=False)
+    ar = make(arena)
+    ar.fit(arena_data, arena_data, verbose=False)
+
+    for mode in (None, "50", "omic", "wsi"):
+        lh, ch = host.evaluate(data, missing_mode=mode)
+        la, ca = ar.evaluate(arena_data, missing_mode=mode)
+        np.testing.assert_allclose(la, lh, rtol=1e-5, err_msg=f"loss {mode}")
+        np.testing.assert_allclose(ca, ch, rtol=1e-6, err_msg=f"c {mode}")
+    # ablations actually change the result (they were silently skipped before)
+    full = ar.evaluate(arena_data)[0]
+    assert abs(ar.evaluate(arena_data, missing_mode="wsi")[0] - full) > 1e-9
