@@ -135,7 +135,17 @@ class SurvivalTrainer:
         prefetch: int = 2,
         bucket_boundaries: Optional[Sequence[int]] = None,
         feature_arena: Optional[Any] = None,
+        fused_epochs: bool = False,
     ):
+        # fused_epochs (arena mode only): run each epoch as one jitted
+        # lax.scan per bucket width instead of one dispatch per batch.
+        # Arena batches are tiny (indices + labels), so a whole epoch's
+        # batches upload in one transfer and the per-step host->device
+        # dispatch latency disappears (~#buckets dispatches per epoch).
+        # Batch ORDER becomes per-bucket-contiguous (still shuffled within
+        # a bucket), so trajectories differ from the unfused path by
+        # reordering only — enable for throughput, disable for run-for-run
+        # parity with the reference.
         # feature_arena: (arena, offsets, lengths) from
         # TCGADataset.feature_arena() (or the bare arena array) — uploaded to
         # HBM ONCE; batches then carry (patch_offsets, patch_lengths) and the
@@ -194,6 +204,14 @@ class SurvivalTrainer:
             feature_arena = (feature_arena, None, None)
         self._arena_host = None if feature_arena is None else feature_arena[0]
         self._arena = None  # device-resident copy, placed lazily
+        self.fused_epochs = bool(fused_epochs) and self._arena_host is not None
+        if self.fused_epochs and mesh is not None:
+            raise ValueError(
+                "fused_epochs stacks batches on a leading scan axis, which "
+                "conflicts with mesh batch sharding — use one or the other"
+            )
+        self._scan_train = None
+        self._scan_eval = None
         self.params = None
         self.opt_state = None
         self._opt = None
@@ -267,6 +285,33 @@ class SurvivalTrainer:
         if self.reg_topo == "mcat" and self.sources == ["omic"]:
             return True
         return False
+
+    @staticmethod
+    def _stack_batches(blist: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Stack same-shape host batches along a new leading scan axis."""
+        out: Dict[str, Any] = {}
+        for k in blist[0]:
+            v0 = blist[0][k]
+            if k == "tensors":
+                out[k] = tuple(
+                    np.stack([b[k][m] for b in blist]) for m in range(len(v0))
+                )
+            elif k == "kv_masks":
+                out[k] = tuple(
+                    None if m is None else np.stack([b[k][i] for b in blist])
+                    for i, m in enumerate(v0)
+                )
+            else:
+                out[k] = np.stack([b[k] for b in blist])
+        return out
+
+    def _bucket_groups(self, batches) -> Dict[int, List[Dict[str, Any]]]:
+        """Group host batches by their static KV width (bucket boundary)."""
+        groups: Dict[int, List[Dict[str, Any]]] = {}
+        for hb in batches:
+            width = hb["kv_masks"][-1].shape[1]
+            groups.setdefault(width, []).append(hb)
+        return groups
 
     @staticmethod
     def _gather_arena(arena, batch):
@@ -393,6 +438,32 @@ class SurvivalTrainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
 
+        # fused-epoch scans: one dispatch covers every step of a bucket.
+        # Compiled once per (bucket width, steps) pair — bucket membership is
+        # static (bag sizes don't change), so exactly one program per bucket.
+        def scan_train(params, opt_state, batches, rngs, arena):
+            def body(carry, xs):
+                p, o = carry
+                b, k = xs
+                p, o, loss, risk = train_step(p, o, b, k, arena)
+                return (p, o), (loss, risk)
+
+            (params, opt_state), (losses, risks) = jax.lax.scan(
+                body, (params, opt_state), (batches, rngs)
+            )
+            return params, opt_state, losses, risks
+
+        def scan_eval(params, batches, arena):
+            def body(_, b):
+                loss, risk, _ = eval_step(params, b, arena)
+                return None, (loss, risk)
+
+            _, (losses, risks) = jax.lax.scan(body, None, batches)
+            return losses, risks
+
+        self._scan_train = jax.jit(scan_train, donate_argnums=(0, 1))
+        self._scan_eval = jax.jit(scan_eval)
+
     # ------------------------------------------------------------- training
     def init_params(self, data: Dict[str, Any]):
         batch = next(iterate_batches(data, self.batch_size))
@@ -507,29 +578,48 @@ class SurvivalTrainer:
                 }
                 return self._place(host_batch), meta
 
-            if self.prefetch > 0:
-                # background decode thread + double-buffered async H2D: the
-                # next batch's transfer overlaps the current step's compute
-                # (replaces the reference's synchronous per-batch `.to(device)`,
-                # main.py:214-240)
-                from healnet_tpu.etl.prefetch import DevicePrefetcher
-
-                placed = DevicePrefetcher(
-                    batches, depth=2, put_fn=_put, buffer_size=self.prefetch
-                )
+            if self.fused_epochs:
+                # one lax.scan dispatch per bucket width: the whole epoch's
+                # (tiny, index-only) batches upload in one transfer and the
+                # per-step dispatch latency disappears
+                for blist in self._bucket_groups(batches).values():
+                    stacked = self._stack_batches(blist)
+                    rng, sub = jax.random.split(rng)
+                    keys = jax.random.split(sub, len(blist))
+                    self.params, self.opt_state, ls, rs = self._scan_train(
+                        self.params, self.opt_state, self._place(stacked),
+                        keys, self._device_arena(),
+                    )
+                    losses.extend(np.asarray(ls))
+                    risks.extend(np.asarray(rs))  # (steps, b) -> rows
+                    for hb in blist:
+                        cens.append(hb["censorship"])
+                        times.append(hb["event_time"])
+                        masks.append(hb["sample_mask"])
             else:
-                placed = (_put(b) for b in batches)
-            for device_batch, meta in placed:
-                rng, step_rng = jax.random.split(rng)
-                self.params, self.opt_state, loss, risk = self._train_step(
-                    self.params, self.opt_state, device_batch, step_rng,
-                    self._device_arena(),
-                )
-                losses.append(loss)
-                risks.append(np.asarray(risk))
-                cens.append(meta["censorship"])
-                times.append(meta["event_time"])
-                masks.append(meta["sample_mask"])
+                if self.prefetch > 0:
+                    # background decode thread + double-buffered async H2D:
+                    # the next batch's transfer overlaps the current step's
+                    # compute (replaces the reference's synchronous per-batch
+                    # `.to(device)`, main.py:214-240)
+                    from healnet_tpu.etl.prefetch import DevicePrefetcher
+
+                    placed = DevicePrefetcher(
+                        batches, depth=2, put_fn=_put, buffer_size=self.prefetch
+                    )
+                else:
+                    placed = (_put(b) for b in batches)
+                for device_batch, meta in placed:
+                    rng, step_rng = jax.random.split(rng)
+                    self.params, self.opt_state, loss, risk = self._train_step(
+                        self.params, self.opt_state, device_batch, step_rng,
+                        self._device_arena(),
+                    )
+                    losses.append(loss)
+                    risks.append(np.asarray(risk))
+                    cens.append(meta["censorship"])
+                    times.append(meta["event_time"])
+                    masks.append(meta["sample_mask"])
 
             mask = np.concatenate(masks) > 0
             # weight each batch's loss by the count its own normalizer used:
@@ -629,9 +719,29 @@ class SurvivalTrainer:
         # buckets apply at eval too: c-index and the loss aggregation are
         # order-independent (per-batch metadata rides along), and padding
         # every eval batch to the global max would multiply its H2D stream
-        for batch in iterate_batches(
+        batches = list(iterate_batches(
             data, self.batch_size, bucket_boundaries=self.bucket_boundaries
+        ))
+        if (
+            self.fused_epochs
+            and missing_mode is None
+            and batches
+            and batches[0].get("patch_offsets") is not None
         ):
+            # fused eval: one scan dispatch per bucket (order-independent)
+            for blist in self._bucket_groups(batches).values():
+                stacked = self._stack_batches(blist)
+                ls, rs = self._scan_eval(
+                    self.params, self._place(stacked), self._device_arena()
+                )
+                losses.extend(np.asarray(ls))
+                risks.extend(np.asarray(rs))
+                for hb in blist:
+                    cens.append(hb["censorship"])
+                    times.append(hb["event_time"])
+                    masks.append(hb["sample_mask"])
+            batches = []
+        for batch in batches:
             # arena batches carry the slide modality as indices, not a tensor
             n_mod = len(batch["tensors"]) + (
                 1 if batch.get("patch_offsets") is not None else 0

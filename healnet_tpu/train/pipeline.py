@@ -339,6 +339,7 @@ class Pipeline:
             checkpoint_dir=self._fold_checkpoint_dir(fold),
             resume=bool(self.config.get("train_loop.resume", False)),
             feature_arena=feature_arena,
+            fused_epochs=bool(self.config.get("train_loop.fused_epochs", False)),
         )
 
     def _fold_checkpoint_dir(self, fold: int):

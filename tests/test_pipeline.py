@@ -404,3 +404,35 @@ def test_pipeline_device_cache_slides_only(ragged_tcga_tree, tmp_path):
     cfg["data"]["device_cache"] = True
     summary = Pipeline(config=cfg).main()
     assert "mean_test_c_index" in summary
+
+
+def test_pipeline_fused_epochs_multi_bucket(ragged_tcga_tree, tmp_path):
+    """train_loop.fused_epochs: whole epochs run as one scan dispatch per
+    bucket; exactly one compiled scan program per bucket width."""
+    cfg = _config(
+        ragged_tcga_tree, tmp_path,
+        patch_attention=True,
+        train_loop={"batch_size": 4, "epochs": 2, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1,
+                    "bucket_boundaries": [3, 6], "fused_epochs": True},
+    )
+    cfg["data"]["device_cache"] = True
+    pipeline = Pipeline(config=cfg)
+    captured = {}
+    orig = Pipeline.make_trainer
+
+    def capture(self, *a, **kw):
+        tr = orig(self, *a, **kw)
+        captured["tr"] = tr
+        return tr
+
+    Pipeline.make_trainer = capture
+    try:
+        summary = pipeline.main()
+    finally:
+        Pipeline.make_trainer = orig
+    assert np.isfinite(summary["mean_test_c_index"])
+    tr = captured["tr"]
+    assert tr.fused_epochs
+    n_programs = tr._scan_train._cache_size()
+    assert 1 <= n_programs <= 2  # one per bucket width, reused across epochs

@@ -224,3 +224,55 @@ def test_missing_ablation_arena_matches_host():
     # ablations actually change the result (they were silently skipped before)
     full = ar.evaluate(arena_data)[0]
     assert abs(ar.evaluate(arena_data, missing_mode="wsi")[0] - full) > 1e-9
+
+
+def _arena_form(data, width, dim):
+    """Rewrite a host-tensor dataset into arena-indexed form."""
+    n = data["y_disc"].shape[0]
+    wsi = data["tensors"][1]
+    return dict(
+        tensors=(data["tensors"][0],),
+        kv_masks=(None, np.ones((n, width), dtype=bool)),
+        patch_offsets=(np.arange(n) * width).astype(np.int32),
+        patch_lengths=np.full(n, width, dtype=np.int32),
+        y_disc=data["y_disc"], censorship=data["censorship"],
+        event_time=data["event_time"],
+    ), np.concatenate([wsi.reshape(-1, dim), np.zeros((width, dim), np.float32)])
+
+
+def test_fused_epochs_single_bucket_matches_stepwise():
+    """With one bucket the fused lax.scan visits batches in the same shuffled
+    order as the per-step path, so the trajectory is identical."""
+    width, dim = 10, 16
+    data = _synthetic_survival(n=24, patches=width, patch_d=dim, seed=5)
+    arena_data, arena = _arena_form(data, width, dim)
+
+    def run(fused):
+        tr = SurvivalTrainer(
+            _module(), batch_size=8, epochs=2, early_stopping=False,
+            gc_compat=1, seed=0, feature_arena=arena, fused_epochs=fused,
+        )
+        return tr.fit(arena_data, arena_data, verbose=False)
+
+    r_fused = run(True)
+    r_step = run(False)
+    np.testing.assert_allclose(
+        r_fused["train_loss"], r_step["train_loss"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        r_fused["train_c_index"], r_step["train_c_index"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        r_fused["val_c_index"], r_step["val_c_index"], rtol=1e-6
+    )
+
+
+def test_fused_epochs_rejects_mesh():
+    import pytest as _pytest
+    from healnet_tpu.parallel import make_mesh
+
+    with _pytest.raises(ValueError, match="fused_epochs"):
+        SurvivalTrainer(
+            _module(), feature_arena=np.zeros((4, 16), np.float32),
+            fused_epochs=True, mesh=make_mesh(1),
+        )
