@@ -288,6 +288,27 @@ class TCGADataset(Dataset):
             largest = max(largest, shape[0])
         return largest or None
 
+    def suggest_bucket_boundaries(
+        self, n_buckets: int = 4, align: int = 128
+    ) -> Optional[List[int]]:
+        """TPU-friendly bucket boundaries from the bag-size histogram.
+
+        Quantiles of the scanned bag sizes, rounded UP to multiples of
+        ``align`` (the TPU lane width — aligned KV widths tile cleanly onto
+        the MXU/VPU) and capped at ``max_patches``. Returns None when bag
+        sizes are unknown (.pt-only layout) or patch_attention is off.
+        """
+        sizes = getattr(self, "_bag_sizes", None)
+        if not sizes or not self.patch_attention:
+            return None
+        arr = np.asarray(sorted(sizes.values()))
+        qs = np.quantile(arr, np.linspace(0, 1, n_buckets + 1)[1:])
+        cap = self.max_patches or int(arr[-1])
+        boundaries = sorted(
+            {min(int(np.ceil(q / align)) * align, cap) for q in qs}
+        )
+        return boundaries
+
     def bag_size(self, index: int) -> Optional[int]:
         sizes = getattr(self, "_bag_sizes", None)
         if not sizes:

@@ -335,12 +335,30 @@ class Pipeline:
             sources=self.sources,
             aux_loss=model_name == "multimodn",
             n_bins=self.output_dims,
-            bucket_boundaries=self.config.get("train_loop.bucket_boundaries"),
+            bucket_boundaries=self._resolve_buckets(parent),
             checkpoint_dir=self._fold_checkpoint_dir(fold),
             resume=bool(self.config.get("train_loop.resume", False)),
             feature_arena=feature_arena,
             fused_epochs=bool(self.config.get("train_loop.fused_epochs", False)),
         )
+
+    def _resolve_buckets(self, parent):
+        """train_loop.bucket_boundaries: list, "auto", or absent.
+
+        "auto" derives boundaries from the dataset's bag-size quantiles,
+        rounded up to multiples of the 128-wide TPU lane
+        (:meth:`TCGADataset.suggest_bucket_boundaries`).
+        """
+        boundaries = self.config.get("train_loop.bucket_boundaries")
+        if isinstance(boundaries, str) and boundaries.lower() == "auto":
+            boundaries = (
+                parent.suggest_bucket_boundaries()
+                if hasattr(parent, "suggest_bucket_boundaries")
+                else None
+            )
+            if boundaries:
+                print(f"auto bucket boundaries: {boundaries}")
+        return boundaries
 
     def _fold_checkpoint_dir(self, fold: int):
         """Durable per-fold checkpoints (train_loop.checkpoint: true).

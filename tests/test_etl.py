@@ -489,3 +489,20 @@ def test_device_cache_demotion_warns(ragged_tcga_root):
     with pytest.warns(UserWarning, match="device_cache requested but disabled"):
         ds = TCGADataset("brca", cfg, n_bins=4)
     assert not ds.device_cache
+
+
+def test_suggest_bucket_boundaries(ragged_tcga_root):
+    """Auto boundaries: bag-size quantiles rounded up to the 128 lane width
+    and capped at max_patches."""
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    bounds = ds.suggest_bucket_boundaries(n_buckets=3, align=2)
+    assert bounds == sorted(set(bounds))
+    assert bounds[-1] <= ds.max_patches
+    assert all(b % 2 == 0 or b == ds.max_patches for b in bounds)
+    # every bag fits in the largest bucket
+    assert max(counts) <= bounds[-1]
+    # default 128 alignment caps at max_patches for tiny bags
+    assert ds.suggest_bucket_boundaries() == [ds.max_patches]

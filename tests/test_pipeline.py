@@ -436,3 +436,31 @@ def test_pipeline_fused_epochs_multi_bucket(ragged_tcga_tree, tmp_path):
     assert tr.fused_epochs
     n_programs = tr._scan_train._cache_size()
     assert 1 <= n_programs <= 2  # one per bucket width, reused across epochs
+
+
+def test_pipeline_auto_bucket_boundaries(ragged_tcga_tree, tmp_path):
+    """train_loop.bucket_boundaries: auto — derived from bag-size quantiles."""
+    cfg = _config(
+        ragged_tcga_tree, tmp_path,
+        patch_attention=True,
+        train_loop={"batch_size": 4, "epochs": 1, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1,
+                    "bucket_boundaries": "auto"},
+    )
+    pipeline = Pipeline(config=cfg)
+    captured = {}
+    orig = Pipeline.make_trainer
+
+    def capture(self, *a, **kw):
+        tr = orig(self, *a, **kw)
+        captured["tr"] = tr
+        return tr
+
+    Pipeline.make_trainer = capture
+    try:
+        summary = pipeline.main()
+    finally:
+        Pipeline.make_trainer = orig
+    assert "mean_test_c_index" in summary
+    assert captured["tr"].bucket_boundaries  # resolved to concrete ints
+    assert all(isinstance(b, int) for b in captured["tr"].bucket_boundaries)
