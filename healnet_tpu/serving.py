@@ -52,9 +52,11 @@ class Predictor:
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
 
-        def predict(params, tensors, presence):
+        def predict(params, tensors, presence, kv_masks):
+            kwargs = {} if kv_masks is None else {"kv_masks": kv_masks}
             logits = module.apply(
-                {"params": params}, tensors, presence=presence, deterministic=True
+                {"params": params}, tensors, presence=presence,
+                deterministic=True, **kwargs,
             ).astype(jnp.float32)
             hazards, survival, risk = hazards_survival_risk(logits)
             return {
@@ -70,8 +72,14 @@ class Predictor:
         self,
         tensors: Sequence[Optional[np.ndarray]],
         presence: Optional[np.ndarray] = None,
+        kv_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
     ) -> Dict[str, np.ndarray]:
         """Predict for n samples; entries of ``tensors`` may be None (missing).
+
+        kv_masks: optional per-modality boolean masks ``(n, tokens_i)`` for
+        ragged padded contexts (True = attend) — without them, zero-padded
+        patch rows would be attended and inference would diverge from the
+        training-time masked semantics.
 
         Returns numpy arrays of shape (n, ...) for logits/hazards/survival
         and (n,) for risk.
@@ -96,19 +104,37 @@ class Predictor:
             else:
                 full.append(np.asarray(t, np.float32))
 
+        masks = (
+            [None] * n_mod
+            if kv_masks is None
+            else [None if m is None else np.asarray(m, bool) for m in kv_masks]
+        )
         outs: List[Dict[str, np.ndarray]] = []
         bs = self.batch_size
         for start in range(0, n, bs):
             sel = slice(start, min(start + bs, n))
             cur = [t[sel] for t in full]
             cur_pres = pres[sel]
+            cur_masks = [None if m is None else m[sel] for m in masks]
             pad = bs - cur[0].shape[0]
             if pad > 0:
                 cur = [np.concatenate([t, np.repeat(t[-1:], pad, 0)]) for t in cur]
                 cur_pres = np.concatenate([cur_pres, np.repeat(cur_pres[-1:], pad, 0)])
+                cur_masks = [
+                    None if m is None
+                    else np.concatenate([m, np.repeat(m[-1:], pad, 0)])
+                    for m in cur_masks
+                ]
             dtype = self.compute_dtype or jnp.float32
             batch_tensors = tuple(jnp.asarray(t, dtype) for t in cur)
-            result = self._predict(self.params, batch_tensors, jnp.asarray(cur_pres))
+            jm = (
+                None
+                if kv_masks is None
+                else tuple(None if m is None else jnp.asarray(m) for m in cur_masks)
+            )
+            result = self._predict(
+                self.params, batch_tensors, jnp.asarray(cur_pres), jm
+            )
             outs.append(
                 {k: np.asarray(v)[: bs - pad if pad else bs] for k, v in result.items()}
             )
