@@ -288,6 +288,78 @@ class TCGADataset(Dataset):
             largest = max(largest, shape[0])
         return largest or None
 
+    def _resolve_bucket_boundaries(self, bucket_boundaries) -> List[int]:
+        """Sorted, deduped boundaries clamped to ``max_patches``.
+
+        Clamping matters beyond wasted padding: in arena mode a KV width
+        wider than the arena's trailing zero-pad would make the fixed-width
+        gather window clamp its start and silently read other slides' rows.
+        """
+        boundaries = sorted(set(int(b) for b in bucket_boundaries))
+        if self.max_patches is not None:
+            boundaries = sorted({min(b, int(self.max_patches)) for b in boundaries})
+            if not boundaries or boundaries[-1] < self.max_patches:
+                boundaries.append(int(self.max_patches))
+        return boundaries
+
+    def _assign_buckets(
+        self, idx: np.ndarray, boundaries: List[int], batch_size: int
+    ) -> List[Tuple[int, List[int]]]:
+        """(boundary, member-chunk) pairs; oversize bags land in the largest
+        bucket (and are truncated to it by ``_slide_tensor``)."""
+        buckets: Dict[int, List[int]] = {b: [] for b in boundaries}
+        for i in idx:
+            size = self.bag_size(int(i)) or boundaries[-1]
+            boundary = next((b for b in boundaries if size <= b), boundaries[-1])
+            buckets[boundary].append(int(i))
+        chunks: List[Tuple[int, List[int]]] = []
+        for boundary, members in buckets.items():
+            for start in range(0, len(members), batch_size):
+                chunks.append((boundary, members[start : start + batch_size]))
+        return chunks
+
+    def count_batches(
+        self,
+        indices: Optional[np.ndarray],
+        batch_size: int,
+        bucket_boundaries: Optional[Sequence[int]] = None,
+    ) -> int:
+        """Exact batches per epoch — each bucket pads its OWN trailing
+        remainder, so the count exceeds ceil(n / batch_size) under
+        bucketing (the LR schedule must use this, not the naive count)."""
+        idx = np.arange(len(self)) if indices is None else np.asarray(indices)
+        if (
+            bucket_boundaries
+            and self.patch_attention
+            and getattr(self, "_bag_sizes", None)
+        ):
+            boundaries = self._resolve_bucket_boundaries(bucket_boundaries)
+            return len(self._assign_buckets(idx, boundaries, batch_size))
+        return int(np.ceil(len(idx) / batch_size))
+
+    def _prefetch_feature_files(self, ids) -> None:
+        """Queue feature-file reads on the native cache's thread pool.
+
+        Only when the load path will actually CONSUME the native cache:
+        it decodes to f32, so for float16 hosts (or arena mode, which does
+        no per-batch IO) prefetching would double-read every file.
+        """
+        if (
+            self._native is None
+            or self.device_cache
+            or "slides" not in self.sources
+            or self.feature_dtype != np.float32
+            or len(ids) == 0
+        ):
+            return
+        paths = [
+            self._npy_path(self.omic_df.iloc[int(i)]["slide_id"].rsplit(".", 1)[0])
+            for i in ids
+        ]
+        paths = [p for p in paths if p.exists()]
+        if paths:
+            self._native.prefetch(paths)
+
     def suggest_bucket_boundaries(
         self, n_buckets: int = 4, align: int = 128
     ) -> Optional[List[int]]:
@@ -500,49 +572,25 @@ class TCGADataset(Dataset):
             rng.shuffle(idx)
 
         if bucket_boundaries and self.patch_attention and getattr(self, "_bag_sizes", None):
-            boundaries = sorted(set(int(b) for b in bucket_boundaries))
-            if self.max_patches is not None and (
-                not boundaries or boundaries[-1] < self.max_patches
-            ):
-                boundaries.append(self.max_patches)
-            buckets: Dict[int, List[int]] = {b: [] for b in boundaries}
-            for i in idx:
-                size = self.bag_size(int(i)) or boundaries[-1]
-                # oversize bags land in the largest bucket (and are truncated
-                # to it by _slide_tensor), never StopIteration
-                boundary = next(
-                    (b for b in boundaries if size <= b), boundaries[-1]
-                )
-                buckets[boundary].append(int(i))
-            chunks = []
-            for boundary, members in buckets.items():
-                for start in range(0, len(members), batch_size):
-                    chunks.append((boundary, members[start : start + batch_size]))
+            boundaries = self._resolve_bucket_boundaries(bucket_boundaries)
+            chunks = self._assign_buckets(idx, boundaries, batch_size)
             if shuffle:
                 rng.shuffle(chunks)
-            for boundary, sel in chunks:
+            for j, (boundary, sel) in enumerate(chunks):
                 if drop_remainder and len(sel) < batch_size:
                     continue
+                # overlap the NEXT chunk's feature-file IO with this one
+                if j + 1 < len(chunks):
+                    self._prefetch_feature_files(chunks[j + 1][1])
                 yield self._build_batch(np.asarray(sel), batch_size, pad_to=boundary)
             return
 
-        uses_slides = "slides" in self.sources
         for start in range(0, len(idx), batch_size):
             sel = idx[start : start + batch_size]
             if drop_remainder and sel.shape[0] < batch_size:
                 return
             # overlap next batch's feature-file IO with this batch's compute
-            if self._native is not None and uses_slides and not self.device_cache:
-                lookahead = idx[start + batch_size : start + 2 * batch_size]
-                paths = [
-                    self._npy_path(
-                        self.omic_df.iloc[int(i)]["slide_id"].rsplit(".", 1)[0]
-                    )
-                    for i in lookahead
-                ]
-                paths = [p for p in paths if p.exists()]
-                if paths:
-                    self._native.prefetch(paths)
+            self._prefetch_feature_files(idx[start + batch_size : start + 2 * batch_size])
             yield self._build_batch(sel, batch_size, pad_to=None)
 
     def _build_batch(

@@ -182,7 +182,10 @@ class Attention(nn.Module):
         if dropout_rate > 0.0:
             dropout_rng = self.make_rng("dropout")
 
-        is_cross = context is not None or kv_mask is not None or kv.shape[1] != x.shape[1]
+        # static, declared at construction: cross-attention modules carry a
+        # context_dim (shape/mask heuristics misfire when a context happens
+        # to have exactly as many tokens as the latent array)
+        is_cross = self.context_dim is not None
         if self._should_use_seq_parallel(
             is_cross, return_weights, dropout_rate, kh.shape[2]
         ):

@@ -24,6 +24,10 @@ class Checkpointer:
         self.directory.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.PyTreeCheckpointer()
 
+    def step_path(self, step: int) -> Path:
+        """Directory of a saved step (e.g. for retention management)."""
+        return self.directory / f"step_{step:08d}"
+
     def save(
         self,
         step: int,
@@ -32,7 +36,7 @@ class Checkpointer:
         metrics: Optional[Dict[str, Any]] = None,
         keep_tag: str = "latest",
     ) -> Path:
-        path = self.directory / f"step_{step:08d}"
+        path = self.step_path(step)
         state = {"params": params}
         if opt_state is not None:
             state["opt_state"] = opt_state
@@ -62,7 +66,7 @@ class Checkpointer:
         if step is None:
             with open(self.directory / f"{tag}.json") as f:
                 step = json.load(f)["step"]
-        path = self.directory / f"step_{step:08d}"
+        path = self.step_path(step)
         if target is not None:
             restored = self._ckptr.restore(path, item=target)
         else:

@@ -352,6 +352,9 @@ class SurvivalTrainer:
                 batch["tensors"],
                 targets=targets,
                 presence=batch.get("presence"),
+                # padded trailing-batch rows must not count in the model's
+                # internal CE/state losses either
+                sample_weights=batch.get("sample_mask"),
                 deterministic=deterministic,
                 rngs=rngs,
             )
@@ -508,7 +511,20 @@ class SurvivalTrainer:
             if hasattr(train_data, "iter_batches")
             else train_data["y_disc"].shape[0]
         )
-        steps_per_epoch = int(np.ceil(n_train / self.batch_size))
+        # exact per-epoch step count: each bucket pads its OWN trailing
+        # remainder, so bucketed epochs run more optimizer steps than
+        # ceil(n/bs) — undercounting would exhaust the OneCycle schedule
+        # early and flatline the tail at min LR
+        if hasattr(train_data, "parent") and hasattr(train_data.parent, "count_batches"):
+            steps_per_epoch = train_data.parent.count_batches(
+                train_data.indices, self.batch_size, self.bucket_boundaries
+            )
+        elif hasattr(train_data, "count_batches"):
+            steps_per_epoch = train_data.count_batches(
+                None, self.batch_size, self.bucket_boundaries
+            )
+        else:
+            steps_per_epoch = int(np.ceil(n_train / self.batch_size))
         total_steps = steps_per_epoch * self.epochs
         self._build_steps(total_steps)
         if self.params is None:
@@ -520,8 +536,11 @@ class SurvivalTrainer:
         self.opt_state = self._opt.init(self.params)
 
         stopper = EarlyStopping(patience=self.patience, mode="min", verbose=verbose)
-        rng = jax.random.PRNGKey(self.seed + 1000 * fold)
-        np_rng = np.random.default_rng(self.seed + fold)
+        # per-EPOCH derived streams (not carried across epochs): a resumed
+        # run's epoch k gets exactly the shuffle order and dropout keys an
+        # uninterrupted run would have used, so crash+resume is bit-equal to
+        # never crashing (cf. the checkpoint/resume contract)
+        base_rng = jax.random.PRNGKey(self.seed + 1000 * fold)
 
         # durable checkpoint/resume (the upgrade over the reference's
         # in-memory-only best weights, SURVEY.md §5)
@@ -563,6 +582,8 @@ class SurvivalTrainer:
             )
         for epoch in range(start_epoch, self.epochs + 1):
             t0 = time.time()
+            rng = jax.random.fold_in(base_rng, epoch)
+            np_rng = np.random.default_rng(self.seed + fold + 977 * epoch)
             losses, risks, cens, times, masks = [], [], [], [], []
             batches = iterate_batches(
                 train_data, self.batch_size, shuffle=True, rng=np_rng,
@@ -719,28 +740,36 @@ class SurvivalTrainer:
         # buckets apply at eval too: c-index and the loss aggregation are
         # order-independent (per-batch metadata rides along), and padding
         # every eval batch to the global max would multiply its H2D stream
-        batches = list(iterate_batches(
+        batches = iterate_batches(
             data, self.batch_size, bucket_boundaries=self.bucket_boundaries
-        ))
-        if (
-            self.fused_epochs
-            and missing_mode is None
-            and batches
-            and batches[0].get("patch_offsets") is not None
-        ):
-            # fused eval: one scan dispatch per bucket (order-independent)
-            for blist in self._bucket_groups(batches).values():
-                stacked = self._stack_batches(blist)
-                ls, rs = self._scan_eval(
-                    self.params, self._place(stacked), self._device_arena()
+        )
+        if self.fused_epochs and missing_mode is None:
+            # peek ONE batch to confirm arena form before materializing:
+            # fused eval needs the whole (index-only, tiny) split host-side,
+            # but a non-arena stream must stay a stream — its batches carry
+            # full feature tensors
+            import itertools
+
+            first = next(batches, None)
+            if first is not None and first.get("patch_offsets") is not None:
+                # fused eval: one scan dispatch per bucket (order-independent)
+                all_batches = [first, *batches]
+                for blist in self._bucket_groups(all_batches).values():
+                    stacked = self._stack_batches(blist)
+                    ls, rs = self._scan_eval(
+                        self.params, self._place(stacked), self._device_arena()
+                    )
+                    losses.extend(np.asarray(ls))
+                    risks.extend(np.asarray(rs))
+                    for hb in blist:
+                        cens.append(hb["censorship"])
+                        times.append(hb["event_time"])
+                        masks.append(hb["sample_mask"])
+                batches = iter(())
+            else:
+                batches = itertools.chain(
+                    [] if first is None else [first], batches
                 )
-                losses.extend(np.asarray(ls))
-                risks.extend(np.asarray(rs))
-                for hb in blist:
-                    cens.append(hb["censorship"])
-                    times.append(hb["event_time"])
-                    masks.append(hb["sample_mask"])
-            batches = []
         for batch in batches:
             # arena batches carry the slide modality as indices, not a tensor
             n_mod = len(batch["tensors"]) + (

@@ -506,3 +506,28 @@ def test_suggest_bucket_boundaries(ragged_tcga_root):
     assert max(counts) <= bounds[-1]
     # default 128 alignment caps at max_patches for tiny bags
     assert ds.suggest_bucket_boundaries() == [ds.max_patches]
+
+
+def test_bucket_boundaries_clamped_to_max_patches(ragged_tcga_root):
+    """Boundaries above max_patches are clamped — in arena mode a wider
+    window would clamp its start and gather other slides' rows."""
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    for b in ds.iter_batches(4, bucket_boundaries=[10 * max(counts)]):
+        assert b["kv_masks"][-1].shape[1] <= ds.max_patches
+
+
+def test_count_batches_includes_bucket_remainders(ragged_tcga_root):
+    """Per-bucket trailing remainders make the true step count exceed
+    ceil(n / batch_size); the LR schedule must use the exact count."""
+    root, counts = ragged_tcga_root
+    cfg = _config(root)
+    cfg["patch_attention"] = True
+    ds = TCGADataset("brca", cfg, n_bins=4)
+    exact = ds.count_batches(None, 4, bucket_boundaries=[3, 6])
+    actual = len(list(ds.iter_batches(4, bucket_boundaries=[3, 6])))
+    assert exact == actual
+    assert exact > int(np.ceil(len(ds) / 4))  # remainder per bucket
+    assert ds.count_batches(None, 4) == int(np.ceil(len(ds) / 4))

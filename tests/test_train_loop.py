@@ -276,3 +276,44 @@ def test_fused_epochs_rejects_mesh():
             _module(), feature_arena=np.zeros((4, 16), np.float32),
             fused_epochs=True, mesh=make_mesh(1),
         )
+
+
+def test_resume_bit_equal_to_uninterrupted(tmp_path):
+    """Crash+resume == never crashing: per-epoch derived rng streams mean a
+    resumed run's epoch k uses exactly the shuffle order and dropout keys
+    the uninterrupted run used."""
+    data = _synthetic_survival(n=32, seed=7)
+
+    def make(ckpt_dir, epochs, resume):
+        return SurvivalTrainer(
+            _module(), batch_size=8, epochs=epochs, early_stopping=False,
+            gc_compat=1, seed=0, checkpoint_dir=ckpt_dir, resume=resume,
+        )
+
+    full = make(str(tmp_path / "a"), 3, False)
+    res_full = full.fit(data, data, verbose=False)
+
+    # identical config (same OneCycle horizon), "crashed" after epoch 2:
+    # run the same 3-epoch fit, then discard epoch 3's checkpoint
+    part = make(str(tmp_path / "b"), 3, False)
+    part.fit(data, data, verbose=False)
+    import shutil
+    from healnet_tpu.train.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "b"))
+    assert ck.latest_step() == 3
+    shutil.rmtree(ck.step_path(3))
+    assert Checkpointer(str(tmp_path / "b")).latest_step() == 2
+
+    resumed = make(str(tmp_path / "b"), 3, True)
+    res_resumed = resumed.fit(data, data, verbose=False)
+
+    import jax
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res_full["params"]),
+        jax.tree_util.tree_leaves(res_resumed["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(
+        res_resumed["train_loss"], res_full["train_loss"], rtol=1e-5
+    )
