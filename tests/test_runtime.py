@@ -112,3 +112,48 @@ def test_feature_cache_missing_file(tmp_path):
     cache = NativeFeatureCache(capacity_mb=1)
     with pytest.raises(IOError):
         cache.load(tmp_path / "nope.npy")
+
+
+def test_feature_cache_concurrent_load_prefetch_stress(tmp_path, rng):
+    """Hammer the same paths from prefetch workers and loader threads at a
+    capacity that forces constant eviction — guards the double-insert race
+    (ADVICE r1: ensure() re-checks after re-locking) and byte accounting."""
+    import threading
+
+    from healnet_tpu.runtime import NativeFeatureCache, native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+
+    paths = []
+    arrays = []
+    for i in range(12):
+        a = rng.normal(size=(64, 32)).astype(np.float32)
+        p = tmp_path / f"f{i}.npy"
+        np.save(p, a)
+        paths.append(p)
+        arrays.append(a)
+
+    # tiny capacity: ~3 files fit, so every load battles eviction
+    cache = NativeFeatureCache(capacity_mb=1, n_threads=4)
+    errors = []
+
+    def loader(seed):
+        r = np.random.default_rng(seed)
+        try:
+            for _ in range(200):
+                j = int(r.integers(0, len(paths)))
+                cache.prefetch([paths[(j + 1) % len(paths)]])
+                out = cache.load(paths[j])
+                np.testing.assert_array_equal(out, arrays[j])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=loader, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:1]
+    stats = cache.stats
+    assert stats["bytes"] <= 1 * 1024 * 1024  # byte bound holds after churn
