@@ -155,9 +155,22 @@ class FeatureCache {
 
   // Copy the cached tensor into dst (must hold `count` floats).
   bool read(const std::string& path, float* dst, int64_t count) {
-    std::lock_guard<std::mutex> lock(mu_);
+    std::unique_lock<std::mutex> lock(mu_);
     auto it = entries_.find(path);
-    if (it == entries_.end()) return false;
+    if (it == entries_.end()) {
+      // ensure()/read() are separate calls, so under eviction churn a
+      // concurrent insert can evict this entry in between. Self-heal by
+      // reloading instead of failing (rare at normal capacity, guaranteed
+      // under stress; the caller already validated the path via ensure()).
+      lock.unlock();
+      Tensor t;
+      if (!load_npy(path, &t)) return false;
+      if (static_cast<int64_t>(t.data.size()) != count) return false;
+      std::memcpy(dst, t.data.data(), count * sizeof(float));
+      lock.lock();
+      if (!entries_.count(path)) insert_locked(path, std::move(t));
+      return true;
+    }
     const Tensor& t = it->second.tensor;
     if (static_cast<int64_t>(t.data.size()) != count) return false;
     std::memcpy(dst, t.data.data(), count * sizeof(float));

@@ -128,26 +128,29 @@ def test_feature_cache_concurrent_load_prefetch_stress(tmp_path, rng):
     paths = []
     arrays = []
     for i in range(12):
-        a = rng.normal(size=(64, 32)).astype(np.float32)
+        # ~384 KB each: a 1 MB capacity fits only ~2, forcing constant
+        # eviction under the concurrent load below
+        a = rng.normal(size=(384, 256)).astype(np.float32)
         p = tmp_path / f"f{i}.npy"
         np.save(p, a)
         paths.append(p)
         arrays.append(a)
 
-    # tiny capacity: ~3 files fit, so every load battles eviction
     cache = NativeFeatureCache(capacity_mb=1, n_threads=4)
     errors = []
 
     def loader(seed):
         r = np.random.default_rng(seed)
         try:
-            for _ in range(200):
+            for _ in range(100):
                 j = int(r.integers(0, len(paths)))
                 cache.prefetch([paths[(j + 1) % len(paths)]])
                 out = cache.load(paths[j])
-                np.testing.assert_array_equal(out, arrays[j])
+                np.testing.assert_array_equal(out, arrays[j], err_msg=f"file {j}")
         except Exception as exc:  # pragma: no cover
-            errors.append(exc)
+            import traceback
+
+            errors.append(traceback.format_exc())
 
     threads = [threading.Thread(target=loader, args=(s,)) for s in range(6)]
     for t in threads:
