@@ -35,6 +35,7 @@ class Checkpointer:
         opt_state: Any = None,
         metrics: Optional[Dict[str, Any]] = None,
         keep_tag: str = "latest",
+        keep_last: Optional[int] = None,
     ) -> Path:
         path = self.step_path(step)
         state = {"params": params}
@@ -44,6 +45,16 @@ class Checkpointer:
         meta = {"step": step, "metrics": metrics or {}}
         with open(self.directory / f"{keep_tag}.json", "w") as f:
             json.dump(meta, f, default=str)
+        if keep_last is not None and keep_last > 0:
+            # retention: a 50-epoch x 5-fold run would otherwise keep every
+            # per-epoch state on disk; resume only ever needs the newest
+            import shutil
+
+            steps = sorted(
+                int(p.name.split("_")[1]) for p in self.directory.glob("step_*")
+            )
+            for old in steps[:-keep_last]:
+                shutil.rmtree(self.step_path(old), ignore_errors=True)
         return path
 
     def save_best(self, params: Any, metrics: Optional[Dict[str, Any]] = None) -> Path:

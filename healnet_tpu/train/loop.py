@@ -129,6 +129,7 @@ class SurvivalTrainer:
         n_bins: Optional[int] = None,
         checkpoint_dir=None,
         resume: bool = False,
+        keep_checkpoints: Optional[int] = 3,
         mesh=None,
         tensor_parallel: bool = True,
         accum_steps: int = 1,
@@ -190,6 +191,7 @@ class SurvivalTrainer:
         self.n_bins = n_bins
         self.checkpoint_dir = checkpoint_dir
         self.resume = resume
+        self.keep_checkpoints = keep_checkpoints  # None = keep every epoch
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
         assert accum_steps >= 1 and batch_size % accum_steps == 0, (
@@ -694,6 +696,7 @@ class SurvivalTrainer:
                     params=self.params,
                     opt_state=self.opt_state,
                     metrics={"val_loss": val_loss, "val_c_index": val_c},
+                    keep_last=self.keep_checkpoints,
                 )
             if self.early_stopping and stopper.step(val_loss, self.params):
                 if verbose:

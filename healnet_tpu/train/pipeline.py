@@ -338,6 +338,7 @@ class Pipeline:
             bucket_boundaries=self._resolve_buckets(parent),
             checkpoint_dir=self._fold_checkpoint_dir(fold),
             resume=bool(self.config.get("train_loop.resume", False)),
+            keep_checkpoints=self.config.get("train_loop.keep_checkpoints", 3),
             feature_arena=feature_arena,
             fused_epochs=bool(self.config.get("train_loop.fused_epochs", False)),
         )

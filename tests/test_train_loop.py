@@ -317,3 +317,19 @@ def test_resume_bit_equal_to_uninterrupted(tmp_path):
     np.testing.assert_allclose(
         res_resumed["train_loss"], res_full["train_loss"], rtol=1e-5
     )
+
+
+def test_checkpoint_retention_keeps_last_k(tmp_path):
+    """keep_checkpoints prunes old epoch dirs; resume still finds the newest."""
+    from healnet_tpu.train.checkpoint import Checkpointer
+
+    data = _synthetic_survival(n=16, seed=2)
+    tr = SurvivalTrainer(
+        _module(), batch_size=8, epochs=5, early_stopping=False, gc_compat=1,
+        seed=0, checkpoint_dir=str(tmp_path / "ck"), keep_checkpoints=2,
+    )
+    tr.fit(data, data, verbose=False)
+    ck = Checkpointer(str(tmp_path / "ck"))
+    steps = sorted(int(p.name.split("_")[1]) for p in ck.directory.glob("step_*"))
+    assert steps == [4, 5]
+    assert ck.latest_step() == 5
