@@ -44,6 +44,14 @@ from healnet_tpu.train.checkpoint import Checkpointer
 from healnet_tpu.train.loop import SurvivalTrainer, iterate_batches
 from healnet_tpu.utils import Box, Tracker, flatten_config, pickle_obj
 
+# Cross-run dataset cache: hyperparameter sweeps construct a fresh Pipeline
+# per trial, but the dataset (omics join, survival binning, bag-size scan,
+# and — critically — the device_cache feature arena with its one-time HBM
+# upload) depends only on the DATA-side config. Keyed on exactly those
+# fields; holds the single most recent dataset. Disable per-run with
+# `data.cache_dataset: false`.
+_DATASET_CACHE: Dict[str, Any] = {"key": None, "dataset": None, "arena_device": None}
+
 VALID_SOURCES = ["omic", "slides"]
 VALID_LOSSES = ["nll", "ce_survival", "cox"]
 VALID_DATASETS = ["blca", "brca", "kirp", "ucec", "hnsc", "paad", "luad", "lusc"]
@@ -164,19 +172,41 @@ class Pipeline:
         return summary
 
     # ----------------------------------------------------------------- data
+    def _dataset_cache_key(self) -> str:
+        """Every config field the dataset's contents depend on."""
+        fields = sorted(
+            (k, str(v))
+            for k, v in self.config.items()
+            if k == "dataset" or k == "sources" or k == "model"
+            or k == "omic_attention" or k == "patch_attention"
+            or k == "tcga_path" or k.startswith("data.")
+            or k.startswith("survival.")
+        )
+        return repr(fields) + f"|bins={self.output_dims}"
+
     def load_data(self, fold: int = 1):
         if self._dataset is None:
-            max_patches = self.config.get("data.max_patches")
-            self._dataset = TCGADataset(
-                self.config["dataset"],
-                self.config,
-                level=int(self.config["data.wsi_level"]),
-                survival_analysis=True,
-                sources=self.sources,
-                n_bins=self.output_dims,
-                log_dir=self.log_dir,
-                max_patches=None if max_patches in (None, "None", "null") else int(max_patches),
-            )
+            key = self._dataset_cache_key()
+            use_cache = bool(self.config.get("data.cache_dataset", True))
+            if use_cache and _DATASET_CACHE["key"] == key:
+                self._dataset = _DATASET_CACHE["dataset"]
+                self._arena_device = _DATASET_CACHE["arena_device"]
+            else:
+                max_patches = self.config.get("data.max_patches")
+                self._dataset = TCGADataset(
+                    self.config["dataset"],
+                    self.config,
+                    level=int(self.config["data.wsi_level"]),
+                    survival_analysis=True,
+                    sources=self.sources,
+                    n_bins=self.output_dims,
+                    log_dir=self.log_dir,
+                    max_patches=None if max_patches in (None, "None", "null") else int(max_patches),
+                )
+                if use_cache:
+                    _DATASET_CACHE.update(
+                        key=key, dataset=self._dataset, arena_device=None
+                    )
         data = self._dataset
         train_idx, test_idx, val_idx = train_val_test_split(len(data), seed=fold)
         print(
@@ -310,6 +340,9 @@ class Pipeline:
                 # release the multi-GB host pack; the device copy serves
                 # all remaining host-side probes (shape/init slicing)
                 parent.adopt_device_arena(self._arena_device)
+                if _DATASET_CACHE["dataset"] is parent:
+                    # later Pipelines (sweep trials) reuse the HBM upload too
+                    _DATASET_CACHE["arena_device"] = self._arena_device
             feature_arena = (self._arena_device, offsets, lengths)
             example_batch = dict(
                 example_batch, arena_dim=int(arena.shape[1])

@@ -464,3 +464,49 @@ def test_pipeline_auto_bucket_boundaries(ragged_tcga_tree, tmp_path):
     assert "mean_test_c_index" in summary
     assert captured["tr"].bucket_boundaries  # resolved to concrete ints
     assert all(isinstance(b, int) for b in captured["tr"].bucket_boundaries)
+
+
+def test_dataset_cached_across_pipelines_for_sweeps(ragged_tcga_tree, tmp_path, monkeypatch):
+    """Sweep trials build a fresh Pipeline each — the dataset (and arena
+    upload) must be shared across them when the data config is identical,
+    and NOT shared when it differs."""
+    import healnet_tpu.train.pipeline as pl
+
+    calls = {"n": 0}
+    orig = pl.TCGADataset
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "TCGADataset", counted)
+    pl._DATASET_CACHE.update(key=None, dataset=None, arena_device=None)
+
+    def cfg(**kw):
+        c = _config(
+            ragged_tcga_tree, tmp_path,
+            patch_attention=True,
+            train_loop={"batch_size": 4, "epochs": 1, "early_stopping": False,
+                        "patience": 5, "gc_compat": 1,
+                        "bucket_boundaries": [3, 6]},
+            **kw,
+        )
+        c["data"]["device_cache"] = True
+        return c
+
+    p1 = Pipeline(config=cfg())
+    p1.main()
+    assert calls["n"] == 1
+    # second "trial": different model hyperparameters, same data config
+    c2 = cfg()
+    c2["model_params"]["depth"] = 2
+    p2 = Pipeline(config=c2)
+    p2.main()
+    assert calls["n"] == 1                       # dataset reused
+    assert p2._arena_device is p1._arena_device  # HBM upload reused
+    # different DATA config -> rebuild
+    c3 = cfg()
+    c3["data"]["max_patches"] = 5
+    Pipeline(config=c3).main()
+    assert calls["n"] == 2
+    pl._DATASET_CACHE.update(key=None, dataset=None, arena_device=None)
