@@ -167,6 +167,9 @@ class FeatureCache {
       if (!load_npy(path, &t)) return false;
       if (static_cast<int64_t>(t.data.size()) != count) return false;
       std::memcpy(dst, t.data.data(), count * sizeof(float));
+      heals_++;  // visible via stats: persistent heals mean the capacity
+                 // is undersized for the working set (every load pays a
+                 // second disk read)
       lock.lock();
       if (!entries_.count(path)) insert_locked(path, std::move(t));
       return true;
@@ -188,6 +191,7 @@ class FeatureCache {
   size_t bytes() const { return bytes_; }
   size_t count() const { return entries_.size(); }
   uint64_t hits() const { return hits_; }
+  uint64_t heals() const { return heals_; }
 
  private:
   struct Entry {
@@ -238,6 +242,7 @@ class FeatureCache {
   size_t capacity_;
   std::atomic<size_t> bytes_{0};
   std::atomic<uint64_t> hits_{0};
+  std::atomic<uint64_t> heals_{0};
   std::unordered_map<std::string, Entry> entries_;
   std::unordered_map<std::string, bool> pending_;
   std::list<std::string> lru_;
@@ -278,6 +283,10 @@ uint64_t hn_cache_bytes(void* cache) {
 
 uint64_t hn_cache_count(void* cache) {
   return static_cast<FeatureCache*>(cache)->count();
+}
+
+uint64_t hn_cache_heals(void* cache) {
+  return static_cast<FeatureCache*>(cache)->heals();
 }
 
 uint64_t hn_cache_hits(void* cache) {

@@ -61,7 +61,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hn_cache_prefetch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int
     ]
-    for fn in ("hn_cache_bytes", "hn_cache_count", "hn_cache_hits"):
+    for fn in ("hn_cache_bytes", "hn_cache_count", "hn_cache_hits", "hn_cache_heals"):
         getattr(lib, fn).restype = ctypes.c_uint64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.hn_concordance_index.restype = ctypes.c_int
@@ -91,6 +91,7 @@ class NativeFeatureCache:
             )
         self._lib = lib
         self._handle = lib.hn_cache_create(capacity_mb * 1024 * 1024, n_threads)
+        self._warned_thrash = False
 
     def load(self, path) -> np.ndarray:
         path_b = str(path).encode()
@@ -105,7 +106,21 @@ class NativeFeatureCache:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), count,
         )
         if not ok:
-            raise IOError(f"native cache read failed for {path} (evicted?)")
+            raise IOError(f"native cache read failed for {path} (IO error)")
+        heals = int(self._lib.hn_cache_heals(self._handle))
+        if heals >= 64 and not self._warned_thrash:
+            hits = int(self._lib.hn_cache_hits(self._handle))
+            if heals > max(hits, 1):
+                import warnings
+
+                self._warned_thrash = True
+                warnings.warn(
+                    f"native feature cache is thrashing ({heals} self-healed "
+                    f"reads vs {hits} hits): capacity is undersized for the "
+                    "working set — every load pays a second disk read. "
+                    "Raise native_cache_mb.",
+                    stacklevel=2,
+                )
         return out.reshape(tuple(shape[i] for i in range(ndim.value)))
 
     def prefetch(self, paths: Sequence) -> None:
@@ -119,6 +134,10 @@ class NativeFeatureCache:
             "bytes": int(self._lib.hn_cache_bytes(self._handle)),
             "entries": int(self._lib.hn_cache_count(self._handle)),
             "hits": int(self._lib.hn_cache_hits(self._handle)),
+            # reads that self-healed after an eviction race: persistently
+            # high vs hits means capacity_mb is undersized for the working
+            # set (every load pays a second disk read)
+            "heals": int(self._lib.hn_cache_heals(self._handle)),
         }
 
     def __del__(self):  # pragma: no cover

@@ -28,6 +28,20 @@ class Checkpointer:
         """Directory of a saved step (e.g. for retention management)."""
         return self.directory / f"step_{step:08d}"
 
+    def _step_numbers(self) -> list:
+        """Sorted step numbers of FINALIZED checkpoints.
+
+        Robust to stale orbax temp dirs (``step_XXXXXXXX.orbax-checkpoint-
+        tmp-<ts>``) left behind by a crash mid-save — exactly the situation
+        resume exists for — which would otherwise break the int parse.
+        """
+        steps = []
+        for p in self.directory.glob("step_*"):
+            suffix = p.name.split("_", 1)[1]
+            if suffix.isdigit():
+                steps.append(int(suffix))
+        return sorted(steps)
+
     def save(
         self,
         step: int,
@@ -50,10 +64,7 @@ class Checkpointer:
             # per-epoch state on disk; resume only ever needs the newest
             import shutil
 
-            steps = sorted(
-                int(p.name.split("_")[1]) for p in self.directory.glob("step_*")
-            )
-            for old in steps[:-keep_last]:
+            for old in self._step_numbers()[:-keep_last]:
                 shutil.rmtree(self.step_path(old), ignore_errors=True)
         return path
 
@@ -89,7 +100,5 @@ class Checkpointer:
         return self._ckptr.restore(self.directory / "best")["params"]
 
     def latest_step(self) -> Optional[int]:
-        steps = sorted(
-            int(p.name.split("_")[1]) for p in self.directory.glob("step_*")
-        )
+        steps = self._step_numbers()
         return steps[-1] if steps else None

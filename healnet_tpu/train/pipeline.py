@@ -187,7 +187,12 @@ class Pipeline:
     def load_data(self, fold: int = 1):
         if self._dataset is None:
             key = self._dataset_cache_key()
-            use_cache = bool(self.config.get("data.cache_dataset", True))
+            # explainer runs write per-run dataset artifacts (the omic
+            # overlap csv) into THIS run's log dir at construction — a
+            # cache hit would silently skip them, so build fresh
+            use_cache = bool(
+                self.config.get("data.cache_dataset", True)
+            ) and not self.config.get("explainer")
             if use_cache and _DATASET_CACHE["key"] == key:
                 self._dataset = _DATASET_CACHE["dataset"]
                 self._arena_device = _DATASET_CACHE["arena_device"]

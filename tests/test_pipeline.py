@@ -480,7 +480,12 @@ def test_dataset_cached_across_pipelines_for_sweeps(ragged_tcga_tree, tmp_path, 
         return orig(*a, **kw)
 
     monkeypatch.setattr(pl, "TCGADataset", counted)
-    pl._DATASET_CACHE.update(key=None, dataset=None, arena_device=None)
+    # fresh module-level cache for this test; monkeypatch teardown restores
+    # the original even if an assert below fails
+    monkeypatch.setattr(
+        pl, "_DATASET_CACHE",
+        {"key": None, "dataset": None, "arena_device": None},
+    )
 
     def cfg(**kw):
         c = _config(
@@ -509,4 +514,3 @@ def test_dataset_cached_across_pipelines_for_sweeps(ragged_tcga_tree, tmp_path, 
     c3["data"]["max_patches"] = 5
     Pipeline(config=c3).main()
     assert calls["n"] == 2
-    pl._DATASET_CACHE.update(key=None, dataset=None, arena_device=None)

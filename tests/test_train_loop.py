@@ -333,3 +333,22 @@ def test_checkpoint_retention_keeps_last_k(tmp_path):
     steps = sorted(int(p.name.split("_")[1]) for p in ck.directory.glob("step_*"))
     assert steps == [4, 5]
     assert ck.latest_step() == 5
+
+
+def test_checkpointer_ignores_stale_orbax_tmp_dirs(tmp_path):
+    """A crash mid-save leaves step_XXXXXXXX.orbax-checkpoint-tmp-<ts> dirs;
+    retention and latest_step must skip them instead of crashing — this is
+    exactly the crash-recovery scenario resume exists for."""
+    import jax.numpy as jnp
+
+    from healnet_tpu.train import Checkpointer
+
+    ck = Checkpointer(tmp_path / "run")
+    params = {"w": jnp.ones(3)}
+    ck.save(step=1, params=params)
+    # simulate a crash mid-save of step 2
+    (ck.directory / "step_00000002.orbax-checkpoint-tmp-1712345678").mkdir()
+    assert ck.latest_step() == 1
+    ck.save(step=2, params=params, keep_last=1)   # retention runs the parse
+    assert ck.latest_step() == 2
+    assert not ck.step_path(1).exists()
