@@ -315,6 +315,24 @@ class SurvivalTrainer:
             groups.setdefault(width, []).append(hb)
         return groups
 
+    #: fused-epoch scan lengths round UP to this quantum. Scan programs are
+    #: keyed on (bucket width, scan length); per-fold splits shift a
+    #: bucket's step count by a few, which would recompile the ~40s scan
+    #: program every fold. Quantized lengths collapse those onto one
+    #: program; padding steps are skipped via lax.cond (no optimizer
+    #: advance, no compute).
+    SCAN_QUANTUM = 8
+
+    def _stack_for_scan(self, blist: List[Dict[str, Any]]):
+        """(stacked batches, valid mask, n_real) padded to the quantum."""
+        n_real = len(blist)
+        q = self.SCAN_QUANTUM
+        target = max(int(np.ceil(n_real / q)) * q, q)
+        padded = blist + [blist[-1]] * (target - n_real)
+        valid = np.zeros(target, np.float32)
+        valid[:n_real] = 1.0
+        return self._stack_batches(padded), valid, n_real
+
     @staticmethod
     def _gather_arena(arena, batch):
         """On-device bag gather: arena rows -> (b, width, dim) slide tensor.
@@ -446,24 +464,45 @@ class SurvivalTrainer:
         # fused-epoch scans: one dispatch covers every step of a bucket.
         # Compiled once per (bucket width, steps) pair — bucket membership is
         # static (bag sizes don't change), so exactly one program per bucket.
-        def scan_train(params, opt_state, batches, rngs, arena):
+        def scan_train(params, opt_state, batches, rngs, valid, arena):
+            # `valid` marks real steps; the scan length is rounded up to a
+            # quantum so every fold's bucket shares one compiled program —
+            # padding steps are skipped entirely via lax.cond (no optimizer
+            # state advance, no wasted compute beyond the branch)
             def body(carry, xs):
                 p, o = carry
-                b, k = xs
-                p, o, loss, risk = train_step(p, o, b, k, arena)
+                b, k, v = xs
+
+                def real(_):
+                    return train_step(p, o, b, k, arena)
+
+                def skip(_):
+                    bs = b["sample_mask"].shape[0]
+                    return p, o, jnp.float32(0), jnp.zeros(bs, jnp.float32)
+
+                p, o, loss, risk = jax.lax.cond(v > 0, real, skip, None)
                 return (p, o), (loss, risk)
 
             (params, opt_state), (losses, risks) = jax.lax.scan(
-                body, (params, opt_state), (batches, rngs)
+                body, (params, opt_state), (batches, rngs, valid)
             )
             return params, opt_state, losses, risks
 
-        def scan_eval(params, batches, arena):
-            def body(_, b):
-                loss, risk, _ = eval_step(params, b, arena)
-                return None, (loss, risk)
+        def scan_eval(params, batches, valid, arena):
+            def body(_, xs):
+                b, v = xs
 
-            _, (losses, risks) = jax.lax.scan(body, None, batches)
+                def real(_):
+                    loss, risk, _lg = eval_step(params, b, arena)
+                    return loss, risk
+
+                def skip(_):
+                    bs = b["sample_mask"].shape[0]
+                    return jnp.float32(0), jnp.zeros(bs, jnp.float32)
+
+                return None, jax.lax.cond(v > 0, real, skip, None)
+
+            _, (losses, risks) = jax.lax.scan(body, None, (batches, valid))
             return losses, risks
 
         self._scan_train = jax.jit(scan_train, donate_argnums=(0, 1))
@@ -606,15 +645,15 @@ class SurvivalTrainer:
                 # (tiny, index-only) batches upload in one transfer and the
                 # per-step dispatch latency disappears
                 for blist in self._bucket_groups(batches).values():
-                    stacked = self._stack_batches(blist)
+                    stacked, valid, n_real = self._stack_for_scan(blist)
                     rng, sub = jax.random.split(rng)
-                    keys = jax.random.split(sub, len(blist))
+                    keys = jax.random.split(sub, len(valid))
                     self.params, self.opt_state, ls, rs = self._scan_train(
                         self.params, self.opt_state, self._place(stacked),
-                        keys, self._device_arena(),
+                        keys, jnp.asarray(valid), self._device_arena(),
                     )
-                    losses.extend(np.asarray(ls))
-                    risks.extend(np.asarray(rs))  # (steps, b) -> rows
+                    losses.extend(np.asarray(ls)[:n_real])
+                    risks.extend(np.asarray(rs)[:n_real])  # (steps, b) rows
                     for hb in blist:
                         cens.append(hb["censorship"])
                         times.append(hb["event_time"])
@@ -758,12 +797,13 @@ class SurvivalTrainer:
                 # fused eval: one scan dispatch per bucket (order-independent)
                 all_batches = [first, *batches]
                 for blist in self._bucket_groups(all_batches).values():
-                    stacked = self._stack_batches(blist)
+                    stacked, valid, n_real = self._stack_for_scan(blist)
                     ls, rs = self._scan_eval(
-                        self.params, self._place(stacked), self._device_arena()
+                        self.params, self._place(stacked),
+                        jnp.asarray(valid), self._device_arena(),
                     )
-                    losses.extend(np.asarray(ls))
-                    risks.extend(np.asarray(rs))
+                    losses.extend(np.asarray(ls)[:n_real])
+                    risks.extend(np.asarray(rs)[:n_real])
                     for hb in blist:
                         cens.append(hb["censorship"])
                         times.append(hb["event_time"])
