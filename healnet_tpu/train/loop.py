@@ -474,7 +474,10 @@ class SurvivalTrainer:
                 b, k, v = xs
 
                 def real(_):
-                    return train_step(p, o, b, k, arena)
+                    p2, o2, loss, risk = train_step(p, o, b, k, arena)
+                    # canonical f32 outputs: under bf16 compute the model's
+                    # risk is bfloat16, and cond branches must type-match
+                    return p2, o2, loss.astype(jnp.float32), risk.astype(jnp.float32)
 
                 def skip(_):
                     bs = b["sample_mask"].shape[0]
@@ -494,7 +497,7 @@ class SurvivalTrainer:
 
                 def real(_):
                     loss, risk, _lg = eval_step(params, b, arena)
-                    return loss, risk
+                    return loss.astype(jnp.float32), risk.astype(jnp.float32)
 
                 def skip(_):
                     bs = b["sample_mask"].shape[0]

@@ -352,3 +352,26 @@ def test_checkpointer_ignores_stale_orbax_tmp_dirs(tmp_path):
     ck.save(step=2, params=params, keep_last=1)   # retention runs the parse
     assert ck.latest_step() == 2
     assert not ck.step_path(1).exists()
+
+
+def test_fused_epochs_bf16_compute():
+    """bf16 modules emit bfloat16 risks; the fused scan's cond branches must
+    still type-match (caught live on TPU: cond branch dtype mismatch)."""
+    import jax.numpy as jnp
+
+    width, dim = 10, 16
+    data = _synthetic_survival(n=20, patches=width, patch_d=dim, seed=9)
+    arena_data, arena = _arena_form(data, width, dim)
+    module = HealNetModule(
+        n_modalities=2, channel_dims=(32, dim), num_spatial_axes=(1, 1),
+        out_dims=4, depth=1, l_c=8, l_d=16, x_heads=1, l_heads=2,
+        cross_dim_head=8, latent_dim_head=8, self_per_cross_attn=0,
+        dtype=jnp.bfloat16,
+    )
+    tr = SurvivalTrainer(
+        module, batch_size=8, epochs=2, early_stopping=False, gc_compat=1,
+        seed=0, feature_arena=arena.astype(np.float16), fused_epochs=True,
+    )
+    res = tr.fit(arena_data, arena_data, verbose=False)
+    assert np.isfinite(res["train_loss"])
+    assert np.isfinite(res["val_loss"])
