@@ -236,7 +236,10 @@ class SurvivalTrainer:
         return self._arena
 
     # ------------------------------------------------------------- building
-    def _surv_loss(self, logits, batch):
+    def _surv_loss(self, logits, batch, class_weights=None):
+        # class_weights rides through the jitted step as a traced ARGUMENT,
+        # not a closure constant: compiled steps stay valid when per-fold
+        # weights change (enables cross-fold executable reuse)
         hazards, survival, risk = hazards_survival_risk(logits)
         sw = batch["sample_mask"]
         if self.loss_type == "nll":
@@ -245,7 +248,7 @@ class SurvivalTrainer:
                 survival,
                 batch["y_disc"],
                 batch["censorship"],
-                weights=self.class_weights,
+                weights=class_weights,
                 alpha=self.alpha,
                 sample_weights=sw,
             )
@@ -399,12 +402,12 @@ class SurvivalTrainer:
         l1 = 0.0 if self._reg_skip() else self.l1
         gc = float(self.gc_compat)
 
-        def loss_and_grads(params, batch, rng, arena):
+        def loss_and_grads(params, batch, rng, arena, cw):
             def loss_fn(p):
                 logits, model_loss = self._forward(
                     p, batch, deterministic=False, rng=rng, arena=arena
                 )
-                surv_loss, risk = self._surv_loss(logits, batch)
+                surv_loss, risk = self._surv_loss(logits, batch, cw)
                 reg = l1 * l1_norm(p) if l1 > 0 else 0.0
                 total = surv_loss / gc + reg + model_loss
                 return total, (surv_loss, risk)
@@ -412,9 +415,9 @@ class SurvivalTrainer:
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             return grads, aux
 
-        def train_step(params, opt_state, batch, rng, arena=None):
+        def train_step(params, opt_state, batch, rng, arena=None, cw=None):
             if self.accum_steps == 1:
-                grads, (surv_loss, risk) = loss_and_grads(params, batch, rng, arena)
+                grads, (surv_loss, risk) = loss_and_grads(params, batch, rng, arena, cw)
             else:
                 # split the batch into micro-batches and scan: grads are
                 # averaged, activations live one micro-batch at a time.
@@ -434,7 +437,7 @@ class SurvivalTrainer:
                     mb, key = mb_and_rng
                     # arena rides outside the scan carry/xs: it is identical
                     # for every micro-batch (never split)
-                    grads, (surv_loss, risk) = loss_and_grads(params, mb, key, arena)
+                    grads, (surv_loss, risk) = loss_and_grads(params, mb, key, arena, cw)
                     grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                     return (grads_acc, loss_acc + surv_loss), risk
 
@@ -451,11 +454,11 @@ class SurvivalTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, surv_loss, risk
 
-        def eval_step(params, batch, arena=None):
+        def eval_step(params, batch, arena=None, cw=None):
             logits, model_loss = self._forward(
                 params, batch, deterministic=True, arena=arena
             )
-            surv_loss, risk = self._surv_loss(logits, batch)
+            surv_loss, risk = self._surv_loss(logits, batch, cw)
             return surv_loss + model_loss, risk, logits
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
@@ -464,7 +467,7 @@ class SurvivalTrainer:
         # fused-epoch scans: one dispatch covers every step of a bucket.
         # Compiled once per (bucket width, steps) pair — bucket membership is
         # static (bag sizes don't change), so exactly one program per bucket.
-        def scan_train(params, opt_state, batches, rngs, valid, arena):
+        def scan_train(params, opt_state, batches, rngs, valid, arena, cw):
             # `valid` marks real steps; the scan length is rounded up to a
             # quantum so every fold's bucket shares one compiled program —
             # padding steps are skipped entirely via lax.cond (no optimizer
@@ -474,7 +477,7 @@ class SurvivalTrainer:
                 b, k, v = xs
 
                 def real(_):
-                    p2, o2, loss, risk = train_step(p, o, b, k, arena)
+                    p2, o2, loss, risk = train_step(p, o, b, k, arena, cw)
                     # canonical f32 outputs: under bf16 compute the model's
                     # risk is bfloat16, and cond branches must type-match
                     return p2, o2, loss.astype(jnp.float32), risk.astype(jnp.float32)
@@ -491,12 +494,12 @@ class SurvivalTrainer:
             )
             return params, opt_state, losses, risks
 
-        def scan_eval(params, batches, valid, arena):
+        def scan_eval(params, batches, valid, arena, cw):
             def body(_, xs):
                 b, v = xs
 
                 def real(_):
-                    loss, risk, _lg = eval_step(params, b, arena)
+                    loss, risk, _lg = eval_step(params, b, arena, cw)
                     return loss.astype(jnp.float32), risk.astype(jnp.float32)
 
                 def skip(_):
@@ -570,7 +573,12 @@ class SurvivalTrainer:
         else:
             steps_per_epoch = int(np.ceil(n_train / self.batch_size))
         total_steps = steps_per_epoch * self.epochs
-        self._build_steps(total_steps)
+        # compiled steps depend on config + total_steps only (class weights
+        # are a traced argument) — k-fold runs reuse them across folds, so
+        # fold 2+ skips re-tracing the WSI-scale programs entirely
+        if self._train_step is None or getattr(self, "_built_total_steps", None) != total_steps:
+            self._build_steps(total_steps)
+            self._built_total_steps = total_steps
         if self.params is None:
             self.init_params(train_data)
         if self.mesh is not None:
@@ -654,6 +662,7 @@ class SurvivalTrainer:
                     self.params, self.opt_state, ls, rs = self._scan_train(
                         self.params, self.opt_state, self._place(stacked),
                         keys, jnp.asarray(valid), self._device_arena(),
+                        self.class_weights,
                     )
                     losses.extend(np.asarray(ls)[:n_real])
                     risks.extend(np.asarray(rs)[:n_real])  # (steps, b) rows
@@ -678,7 +687,7 @@ class SurvivalTrainer:
                     rng, step_rng = jax.random.split(rng)
                     self.params, self.opt_state, loss, risk = self._train_step(
                         self.params, self.opt_state, device_batch, step_rng,
-                        self._device_arena(),
+                        self._device_arena(), self.class_weights,
                     )
                     losses.append(loss)
                     risks.append(np.asarray(risk))
@@ -804,6 +813,7 @@ class SurvivalTrainer:
                     ls, rs = self._scan_eval(
                         self.params, self._place(stacked),
                         jnp.asarray(valid), self._device_arena(),
+                        self.class_weights,
                     )
                     losses.extend(np.asarray(ls)[:n_real])
                     risks.extend(np.asarray(rs)[:n_real])
@@ -833,7 +843,8 @@ class SurvivalTrainer:
                 presence[:, drop] = 0.0
                 batch["presence"] = presence
             loss, risk, _ = self._eval_step(
-                self.params, self._place(batch), self._device_arena()
+                self.params, self._place(batch), self._device_arena(),
+                self.class_weights,
             )
             losses.append(np.asarray(loss))
             risks.append(np.asarray(risk))

@@ -24,6 +24,7 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from healnet_tpu.etl import TCGADataset, class_weights, train_val_test_split
@@ -94,6 +95,7 @@ class Pipeline:
         # across all folds
         self._dataset = None
         self._arena_device = None
+        self._trainer = None
 
     def _check_config(self) -> None:
         """Whitelist validation (`main.py:78-104`)."""
@@ -353,9 +355,24 @@ class Pipeline:
                 example_batch, arena_dim=int(arena.shape[1])
             )
 
+        # reuse ONE trainer across folds: the module/loss config is
+        # fold-independent and class weights are a traced argument, so the
+        # compiled (and traced) step functions carry over — fold 2+ skips
+        # the expensive WSI-scale re-trace. Only per-fold state changes.
+        if self._trainer is not None:
+            tr = self._trainer
+            tr.seed = fold
+            tr.class_weights = (
+                None if cw is None else jnp.asarray(cw, jnp.float32)
+            )
+            tr.checkpoint_dir = self._fold_checkpoint_dir(fold)
+            tr.params = None       # re-init with this fold's seed
+            tr.opt_state = None
+            return tr
+
         model = self.make_model(example_batch, mesh=mesh)
         model_name = self.config["model"]
-        return SurvivalTrainer(
+        self._trainer = SurvivalTrainer(
             model,
             loss_type=self.config["survival.loss"],
             mesh=mesh,
@@ -380,6 +397,7 @@ class Pipeline:
             feature_arena=feature_arena,
             fused_epochs=bool(self.config.get("train_loop.fused_epochs", False)),
         )
+        return self._trainer
 
     def _resolve_buckets(self, parent):
         """train_loop.bucket_boundaries: list, "auto", or absent.

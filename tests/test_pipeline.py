@@ -514,3 +514,34 @@ def test_dataset_cached_across_pipelines_for_sweeps(ragged_tcga_tree, tmp_path, 
     c3["data"]["max_patches"] = 5
     Pipeline(config=c3).main()
     assert calls["n"] == 2
+
+
+def test_pipeline_reuses_trainer_across_folds(ragged_tcga_tree, tmp_path):
+    """Fold 2+ reuses fold 1's trainer (and its traced/compiled steps):
+    per-fold state resets, per-fold class weights ride through as traced
+    arguments, and results stay finite."""
+    cfg = _config(
+        ragged_tcga_tree, tmp_path,
+        patch_attention=True, n_folds=2,
+        train_loop={"batch_size": 4, "epochs": 1, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1,
+                    "bucket_boundaries": [3, 6], "fused_epochs": True},
+    )
+    cfg["data"]["device_cache"] = True
+    pipeline = Pipeline(config=cfg)
+    seen = []
+    orig = Pipeline.make_trainer
+
+    def capture(self, *a, **kw):
+        tr = orig(self, *a, **kw)
+        seen.append(tr)
+        return tr
+
+    Pipeline.make_trainer = capture
+    try:
+        summary = pipeline.main()
+    finally:
+        Pipeline.make_trainer = orig
+    assert len(seen) == 2 and seen[0] is seen[1]
+    assert seen[1].seed == 2          # per-fold seed updated
+    assert np.isfinite(summary["mean_test_c_index"])
