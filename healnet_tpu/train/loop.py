@@ -173,9 +173,7 @@ class SurvivalTrainer:
         self.loss_type = loss_type
         self.alpha = alpha
         self.l1 = float(l1)
-        self.class_weights = (
-            None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
-        )
+        self.class_weights = self._normalize_class_weights(class_weights)
         self.gc_compat = gc_compat
         self.batch_size = batch_size
         self.epochs = epochs
@@ -219,6 +217,25 @@ class SurvivalTrainer:
         self._opt = None
         self._train_step = None
         self._eval_step = None
+
+    @staticmethod
+    def _normalize_class_weights(class_weights):
+        return (
+            None
+            if class_weights is None
+            else jnp.asarray(class_weights, jnp.float32)
+        )
+
+    def set_fold(self, *, seed: int, class_weights=None, checkpoint_dir=None):
+        """Re-point a trainer at a new fold, keeping its traced/compiled
+        steps (class weights are a traced argument, so only per-fold state
+        resets: seed, weights, checkpoint dir, params, optimizer state)."""
+        self.seed = seed
+        self.class_weights = self._normalize_class_weights(class_weights)
+        self.checkpoint_dir = checkpoint_dir
+        self.params = None
+        self.opt_state = None
+        return self
 
     def _device_arena(self):
         """Upload the feature arena to HBM once (replicated under a mesh)."""
@@ -576,7 +593,16 @@ class SurvivalTrainer:
         # compiled steps depend on config + total_steps only (class weights
         # are a traced argument) — k-fold runs reuse them across folds, so
         # fold 2+ skips re-tracing the WSI-scale programs entirely
-        if self._train_step is None or getattr(self, "_built_total_steps", None) != total_steps:
+        prev_total = getattr(self, "_built_total_steps", None)
+        if self._train_step is None or prev_total != total_steps:
+            if prev_total is not None and verbose:
+                # per-fold split sizes can shift a bucket's batch count; the
+                # OneCycle schedule must stay exact, so this re-traces (the
+                # amortization claim only holds while counts match)
+                print(
+                    f"rebuilding train steps: total_steps {prev_total} -> "
+                    f"{total_steps} (schedule horizon changed)"
+                )
             self._build_steps(total_steps)
             self._built_total_steps = total_steps
         if self.params is None:

@@ -121,6 +121,18 @@ class Pipeline:
             for key, value in sweep_overrides.items():
                 if key in self.config:
                     self.config[key] = value
+            # the cached trainer was built from the PREVIOUS hyperparameters;
+            # a reused Pipeline must rebuild it (and, if the overrides touch
+            # the data config, the dataset/arena too)
+            self._trainer = None
+            if any(
+                k == "dataset" or k == "sources" or k == "model"
+                or k.startswith("data.") or k.startswith("survival.")
+                or k in ("patch_attention", "omic_attention", "tcga_path")
+                for k in sweep_overrides
+            ):
+                self._dataset = None
+                self._arena_device = None
 
         fold_metrics: Dict[str, List[float]] = {
             "train_c_index": [], "val_c_index": [], "test_c_index": [],
@@ -317,6 +329,19 @@ class Pipeline:
         raise ValueError(f"unknown model {model_name}")
 
     def make_trainer(self, train_view, fold: int, cw) -> SurvivalTrainer:
+        # reuse ONE trainer across folds: the module/loss config is
+        # fold-independent and class weights are a traced argument, so the
+        # compiled (and traced) step functions carry over — fold 2+ skips
+        # the expensive WSI-scale re-trace. Hoisted before any per-fold
+        # batch/mesh/arena work, none of which the reuse path needs.
+        if self._trainer is not None:
+            self._trainer.set_fold(
+                seed=fold,
+                class_weights=cw,
+                checkpoint_dir=self._fold_checkpoint_dir(fold),
+            )
+            return self._trainer
+
         example_batch = next(
             iterate_batches(train_view, int(self.config["train_loop.batch_size"]))
         )
@@ -354,21 +379,6 @@ class Pipeline:
             example_batch = dict(
                 example_batch, arena_dim=int(arena.shape[1])
             )
-
-        # reuse ONE trainer across folds: the module/loss config is
-        # fold-independent and class weights are a traced argument, so the
-        # compiled (and traced) step functions carry over — fold 2+ skips
-        # the expensive WSI-scale re-trace. Only per-fold state changes.
-        if self._trainer is not None:
-            tr = self._trainer
-            tr.seed = fold
-            tr.class_weights = (
-                None if cw is None else jnp.asarray(cw, jnp.float32)
-            )
-            tr.checkpoint_dir = self._fold_checkpoint_dir(fold)
-            tr.params = None       # re-init with this fold's seed
-            tr.opt_state = None
-            return tr
 
         model = self.make_model(example_batch, mesh=mesh)
         model_name = self.config["model"]

@@ -545,3 +545,23 @@ def test_pipeline_reuses_trainer_across_folds(ragged_tcga_tree, tmp_path):
     assert len(seen) == 2 and seen[0] is seen[1]
     assert seen[1].seed == 2          # per-fold seed updated
     assert np.isfinite(summary["mean_test_c_index"])
+
+
+def test_sweep_overrides_invalidate_cached_trainer(ragged_tcga_tree, tmp_path):
+    """main(sweep_overrides=...) on a REUSED Pipeline must rebuild the
+    trainer — otherwise trial 2 trains trial 1's model at trial 1's LR."""
+    cfg = _config(
+        ragged_tcga_tree, tmp_path,
+        patch_attention=True,
+        train_loop={"batch_size": 4, "epochs": 1, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1,
+                    "bucket_boundaries": [3, 6]},
+    )
+    p = Pipeline(config=cfg)
+    p.main()
+    tr1 = p._trainer
+    assert tr1 is not None
+    p.main(sweep_overrides={"model_params.depth": 2})
+    tr2 = p._trainer
+    assert tr2 is not None and tr2 is not tr1
+    assert tr2.module.depth == 2

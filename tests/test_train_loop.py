@@ -356,7 +356,9 @@ def test_checkpointer_ignores_stale_orbax_tmp_dirs(tmp_path):
 
 def test_fused_epochs_bf16_compute():
     """bf16 modules emit bfloat16 risks; the fused scan's cond branches must
-    still type-match (caught live on TPU: cond branch dtype mismatch)."""
+    still type-match (caught live on TPU: cond branch dtype mismatch). The
+    fp16 arena x bf16 compute combination mirrors the dress-rehearsal
+    production config (data.feature_dtype: float16, precision: bf16)."""
     import jax.numpy as jnp
 
     width, dim = 10, 16
