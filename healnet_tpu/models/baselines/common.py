@@ -20,7 +20,7 @@ Flax counterparts of the torch blocks the baselines are assembled from
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -63,14 +63,22 @@ class AlphaDropout(nn.Module):
 
 
 class SNNBlock(nn.Module):
-    """Linear + ELU + AlphaDropout (`mcat.py:388-402`)."""
+    """Linear + ELU + AlphaDropout (`mcat.py:388-402`).
+
+    ``max_init=True`` uses the reference's ``init_max_weights`` scheme
+    (N(0, 1/sqrt(fan_in)) kernels, zero bias — `mcat.py:455-469`), which
+    the standalone SNN model applies to all of its Linears
+    (`mcat.py:297`).
+    """
 
     features: int
     dropout: float = 0.25
+    max_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = torch_dense(self.features, x.shape[-1], name="fc")(x)
+        dense = max_weights_dense if self.max_init else torch_dense
+        h = dense(self.features, x.shape[-1], name="fc")(x)
         h = jax.nn.elu(h)
         return AlphaDropout(self.dropout)(h, deterministic=deterministic)
 
@@ -200,13 +208,3 @@ class TransformerEncoder(nn.Module):
             )(x, deterministic=deterministic)
         return x
 
-
-def mlp(
-    x: jnp.ndarray,
-    sizes: Sequence[int],
-    activation: Callable = jax.nn.relu,
-    name: str = "mlp",
-) -> jnp.ndarray:
-    for i, size in enumerate(sizes):
-        x = activation(torch_dense(size, x.shape[-1], name=f"{name}_{i}")(x))
-    return x

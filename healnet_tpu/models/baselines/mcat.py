@@ -78,6 +78,12 @@ class MCAT(nn.Module):
         )
         wsi = tensors[1]                              # (b, dim, patches)
         wsi = jnp.swapaxes(wsi, 1, 2)                 # (b, patches, dim)
+        if presence is not None:
+            # zero-imputation missing-modality convention: the trainer's
+            # ablation harness drives presence; these nets have no native
+            # skip, so an absent modality contributes zero features
+            signatures = [s * presence[:, 0][:, None] for s in signatures]
+            wsi = wsi * presence[:, 1][:, None, None]
         size = _SIZE_WSI[self.model_size_wsi]
         hidden = _SIZE_OMIC[self.model_size_omic]
 
@@ -93,14 +99,16 @@ class MCAT(nn.Module):
             h = sig
             prefix = f"sig_{j}_" if len(signatures) > 1 else "sig_"
             for i, width in enumerate(hidden):
-                h = SNNBlock(
-                    width, dropout=0.25 if i > 0 else 0.0, name=f"{prefix}{i}"
-                )(h, deterministic=deterministic)
+                # SNN_Block's default dropout (0.25) applies to EVERY block,
+                # including the first (`mcat.py:67,388`)
+                h = SNNBlock(width, dropout=0.25, name=f"{prefix}{i}")(
+                    h, deterministic=deterministic
+                )
             tokens.append(h)
         h_omic = jnp.stack(tokens, axis=1)            # (b, n_sig, 256)
 
         # genomic-guided co-attention: omic queries attend over patch tokens
-        scale = h_omic.shape[-1] ** -0.5
+        scale = size[1] ** -0.5   # = the q/k projection width ('big' included)
         q = torch_dense(size[1], h_omic.shape[-1], name="coattn_q")(h_omic)
         k = torch_dense(size[1], size[1], name="coattn_k")(h_path)
         v = torch_dense(size[1], size[1], name="coattn_v")(h_path)
@@ -117,7 +125,7 @@ class MCAT(nn.Module):
             hidden=size[2], dropout=self.dropout, name="path_attention_head"
         )(h_path_trans, deterministic=deterministic)
         h_p = jnp.sum(jax.nn.softmax(a_path, axis=1) * h_path_pool, axis=1)
-        h_p = jax.nn.relu(torch_dense(size[2], size[2], name="path_rho")(h_p))
+        h_p = jax.nn.relu(torch_dense(size[2], size[1], name="path_rho")(h_p))
         h_p = nn.Dropout(self.dropout)(h_p, deterministic=deterministic)
 
         h_omic_trans = TransformerEncoder(
@@ -127,7 +135,7 @@ class MCAT(nn.Module):
             hidden=size[2], dropout=self.dropout, name="omic_attention_head"
         )(h_omic_trans, deterministic=deterministic)
         h_o = jnp.sum(jax.nn.softmax(a_omic, axis=1) * h_omic_pool, axis=1)
-        h_o = jax.nn.relu(torch_dense(size[2], size[2], name="omic_rho")(h_o))
+        h_o = jax.nn.relu(torch_dense(size[2], size[1], name="omic_rho")(h_o))
         h_o = nn.Dropout(self.dropout)(h_o, deterministic=deterministic)
 
         if self.fusion == "bilinear":
@@ -162,6 +170,8 @@ class MILAttentionNet(nn.Module):
     ):
         wsi = tensors[0]
         wsi = jnp.swapaxes(wsi, 1, 2)                 # (b, patches, dim)
+        if presence is not None:
+            wsi = wsi * presence[:, -1][:, None, None]
         sizes = {"small": (1024, 512, 256), "big": (1024, 512, 384)}[self.size_arg]
 
         h = jax.nn.relu(torch_dense(sizes[1], wsi.shape[-1], name="fc")(wsi))
@@ -189,11 +199,17 @@ class SNN(nn.Module):
         deterministic: bool = True,
     ):
         x = _flatten_leading(tensors[0])
+        if presence is not None:
+            x = x * presence[:, 0][:, None]
         hidden = {"small": (256, 256, 256, 256), "big": (1024, 1024, 1024, 256)}[
             self.model_size_omic
         ]
+        # the reference applies init_max_weights to ALL of SNN's Linears
+        # (`mcat.py:297`), and SNN_Block's default dropout covers block 0 too
         for i, width in enumerate(hidden):
-            x = SNNBlock(width, dropout=0.25 if i > 0 else 0.0, name=f"fc_omic_{i}")(
+            x = SNNBlock(width, dropout=0.25, max_init=True, name=f"fc_omic_{i}")(
                 x, deterministic=deterministic
             )
-        return torch_dense(self.n_classes, hidden[-1], name="classifier")(x)
+        from healnet_tpu.models.baselines.common import max_weights_dense
+
+        return max_weights_dense(self.n_classes, hidden[-1], name="classifier")(x)

@@ -112,11 +112,18 @@ class MMPrognosis(nn.Module):
             )
 
         x = fused
-        if self.batch_norm and b > 1:
-            x = BatchStatNorm(name="bn1")(x)
+        if self.batch_norm:
+            # ALWAYS call the norm layers so the parameter tree never
+            # depends on the batch size seen at init (a b=1 init would
+            # otherwise produce params without bn1/bn2 and fail on any
+            # later b>1 apply); with a single sample the batch statistics
+            # are degenerate, so the normalized output is bypassed
+            normed = BatchStatNorm(name="bn1")(x)
+            x = normed if b > 1 else x
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = Highway(size=self.embedding_dims, num_layers=10, name="highway")(x)
-        if self.batch_norm and b > 1:
-            x = BatchStatNorm(name="bn2")(x)
+        if self.batch_norm:
+            normed = BatchStatNorm(name="bn2")(x)
+            x = normed if b > 1 else x
         x = nn.LayerNorm(epsilon=1e-5, name="final_norm")(x)
         return torch_dense(self.output_dims, self.embedding_dims, name="final_head")(x)

@@ -109,13 +109,20 @@ class MOTCAT(nn.Module):
     ):
         omic = tensors[0].reshape(tensors[0].shape[0], -1)
         wsi = jnp.swapaxes(tensors[1], 1, 2)          # (b, patches, dim)
+        if presence is not None:
+            # zero-imputation missing-modality convention (the trainer's
+            # ablation harness drives this; these nets have no native skip)
+            omic = omic * presence[:, 0][:, None]
+            wsi = wsi * presence[:, 1][:, None, None]
 
         h_path = jax.nn.relu(torch_dense(256, wsi.shape[-1], name="wsi_fc")(wsi))
         h_path = nn.Dropout(0.25)(h_path, deterministic=deterministic)
 
         h_omic = omic
         for i, width in enumerate((256, 256)):
-            h_omic = SNNBlock(width, dropout=0.25 if i > 0 else 0.0, name=f"sig_{i}")(
+            # reference SNN_Block keeps its default AlphaDropout p=0.25 on
+            # EVERY block, including the first (`mcat.py:388,293`)
+            h_omic = SNNBlock(width, dropout=0.25, name=f"sig_{i}")(
                 h_omic, deterministic=deterministic
             )
         h_omic = h_omic[:, None, :]                   # (b, 1, 256)
@@ -126,8 +133,15 @@ class MOTCAT(nn.Module):
             reg=self.ot_reg, n_iters=self.ot_iters, unbalanced_tau=self.ot_tau,
             name="ot_attn",
         )(h_omic, h_path)
-        n_patches = h_path.shape[1]
-        h_coattn = jnp.einsum("bnm,bmd->bnd", plan * n_patches, h_path)
+        # reference semantics: the plan is computed on a DETACHED cost
+        # (POT on cost.detach(), ref motcat.py:44-51) and used as constant
+        # attention weights — stop_gradient reproduces that and frees the
+        # 50-iteration Sinkhorn backprop memory. The single omic query row
+        # already carries the full unit mass, so the raw plan IS the
+        # weighted average (scaling by n_patches inflated features with
+        # bag size).
+        plan = jax.lax.stop_gradient(plan)
+        h_coattn = jnp.einsum("bnm,bmd->bnd", plan, h_path)
 
         h_path_trans = TransformerEncoder(
             d_model=256, dropout=self.dropout, name="path_transformer"
@@ -137,6 +151,7 @@ class MOTCAT(nn.Module):
         )
         h_p = jnp.sum(jax.nn.softmax(a_path, axis=1) * hp, axis=1)
         h_p = jax.nn.relu(torch_dense(256, 256, name="path_rho")(h_p))
+        h_p = nn.Dropout(self.dropout)(h_p, deterministic=deterministic)
 
         h_omic_trans = TransformerEncoder(
             d_model=256, dropout=self.dropout, name="omic_transformer"
@@ -146,6 +161,7 @@ class MOTCAT(nn.Module):
         )
         h_o = jnp.sum(jax.nn.softmax(a_omic, axis=1) * ho, axis=1)
         h_o = jax.nn.relu(torch_dense(256, 256, name="omic_rho")(h_o))
+        h_o = nn.Dropout(self.dropout)(h_o, deterministic=deterministic)
 
         h = jnp.concatenate([h_p, h_o], axis=1)
         h = jax.nn.relu(torch_dense(256, 512, name="mm_0")(h))

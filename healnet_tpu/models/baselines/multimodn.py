@@ -191,10 +191,13 @@ class MultiModNModule(nn.Module):
                 stage_logits.append(logits)
                 if targets is not None:
                     err = _softmax_ce(logits, targets, sample_weights)
-                    running_loss = running_loss + (
-                        err * self.err_penalty
-                        + state_changes[-1] * self.state_change_penalty
-                    )
+                    running_loss = running_loss + err * self.err_penalty
+            if targets is not None:
+                # one state-change penalty per ENCODER step (adding it per
+                # decoder would scale the regulariser by len(decoders))
+                running_loss = running_loss + (
+                    state_changes[-1] * self.state_change_penalty
+                )
             if return_stages:
                 stages.append(stage_logits)
         if return_stages:

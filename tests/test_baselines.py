@@ -314,3 +314,32 @@ def test_multimodn_bespoke_trainer_protocol():
     df = history.to_dataframe()
     assert {"train_loss", "val_loss"} <= set(df.columns) - {"epoch"} | set(df.columns)
     assert len(df) == 6 * 3 * 2  # epochs x stages x (train+val)
+
+
+def test_baselines_honor_presence_masks(rng):
+    """MCAT/MOTCAT/SNN/MIL apply presence by zero-imputing the absent
+    modality, so the trainer's missing-modality ablation actually measures
+    something (it silently no-opped before)."""
+    import jax
+    import jax.numpy as jnp
+
+    from healnet_tpu.models.baselines import MCAT, MOTCAT, SNN
+
+    b = 4
+    omic = jnp.asarray(rng.normal(size=(b, 1, 40)).astype(np.float32))
+    wsi = jnp.asarray(rng.normal(size=(b, 64, 12)).astype(np.float32))
+    full = jnp.ones((b, 2), jnp.float32)
+    no_wsi = full.at[:, 1].set(0.0)
+
+    for cls in (MCAT, MOTCAT):
+        model = cls(n_classes=4)
+        params = model.init(jax.random.PRNGKey(0), (omic, wsi))["params"]
+        out_full = model.apply({"params": params}, (omic, wsi), presence=full)
+        out_miss = model.apply({"params": params}, (omic, wsi), presence=no_wsi)
+        assert not np.allclose(np.asarray(out_full), np.asarray(out_miss)), cls
+
+    snn = SNN(n_classes=4)
+    params = snn.init(jax.random.PRNGKey(0), (omic,))["params"]
+    out_full = snn.apply({"params": params}, (omic,), presence=jnp.ones((b, 1)))
+    out_miss = snn.apply({"params": params}, (omic,), presence=jnp.zeros((b, 1)))
+    assert not np.allclose(np.asarray(out_full), np.asarray(out_miss))
