@@ -77,9 +77,10 @@ def run_sweep(config: Box, args) -> Dict[str, Any]:
         pipeline = Pipeline(config=config, args=args)
         return pipeline.main(sweep_overrides=params)
 
-    best = sweep.run(
-        objective, n_trials=args.sweep_trials, csv_path="logs/sweep_results.csv"
-    )
+    from pathlib import Path
+
+    csv_path = Path(config.get("log_path", "logs")) / "sweep_results.csv"
+    best = sweep.run(objective, n_trials=args.sweep_trials, csv_path=str(csv_path))
     print(f"Best trial: {best['params']} -> {best['metrics']}")
     return best
 
@@ -96,9 +97,11 @@ def run_plan(config: Box, args) -> None:
         config["sources"] = sources
         config["model"] = model
         config["n_folds"] = 5
-        hyperparams = Config(config["hyperparams"]).read()[dataset]
-        config["model_params"] = hyperparams
         try:
+            # inside the try: a dataset missing from the hyperparams file
+            # must be logged and skipped like any other per-run failure
+            # (`main.py:688-690`), not abort the remaining plan
+            config["model_params"] = Config(config["hyperparams"]).read()[dataset]
             Pipeline(config=config, args=args).main()
         except Exception as exc:
             print(f"Exception: {exc}")

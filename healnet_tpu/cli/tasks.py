@@ -38,7 +38,7 @@ GDC_URLS = {
     "linux": "https://gdc.cancer.gov/files/public/file/gdc-client_v1.6.1_Ubuntu_x64.zip",
     "mac": "https://gdc.cancer.gov/files/public/file/gdc-client_v1.6.1_OSX_x64.zip",
 }
-VALID_DATASETS = ["brca", "blca", "kirp", "ucec", "hnsc", "paad", "luad", "lusc"]
+from healnet_tpu.constants import VALID_DATASETS
 
 
 def install(system: str) -> None:
@@ -202,16 +202,37 @@ def preprocess(
             )
         import cv2
 
+        done = skipped_missing = resumed = 0
         for path in slides:
             h5_path = prep / "patches" / f"{path.stem}.h5"
             if not h5_path.exists():
+                skipped_missing += 1
+                continue
+            out = prep / "patch_features" / f"{path.stem}.{save_format}"
+            if out.exists():
+                resumed += 1  # interrupted runs restart where they stopped
                 continue
             with h5py.File(h5_path, "r") as f:
                 coords = f["coords"][:]
+                # the grid geometry lives in the h5 attrs written at patch
+                # time — trust those over the CLI flags, or cropped regions
+                # silently cover the wrong area on a mismatch
+                attrs = dict(f["coords"].attrs)
+            if "patch_size" in attrs and int(attrs["patch_size"]) != patch_size:
+                print(
+                    f"{path.stem}: using patch_size {int(attrs['patch_size'])} "
+                    f"from the patches h5 (CLI said {patch_size})"
+                )
+                patch_size = int(attrs["patch_size"])
+            if "patch_level" in attrs and int(attrs["patch_level"]) != level:
+                print(
+                    f"{path.stem}: using level {int(attrs['patch_level'])} "
+                    f"from the patches h5 (CLI said {level})"
+                )
+                level = int(attrs["patch_level"])
             if max_patches is not None:
                 coords = coords[:max_patches]
             slide = OpenSlide(path)
-            scale = slide.dimensions[0] / slide.level_dimensions[min(level, slide.level_count - 1)][0]
             patches = np.zeros((len(coords), 224, 224, 3), np.uint8)
             for i, (x0, y0) in enumerate(coords):
                 region = slide.read_region(
@@ -224,7 +245,6 @@ def preprocess(
                 features = np.pad(
                     features, ((0, max_patches - len(features)), (0, 0))
                 )
-            out = prep / "patch_features" / f"{path.stem}.{save_format}"
             if save_format == "npy":
                 np.save(out, features)
             else:
@@ -233,6 +253,17 @@ def preprocess(
                 torch.save(torch.tensor(features), out)
             print(f"{path.stem}: {features.shape} features -> {out}")
             slide.close()
+            done += 1
+        print(
+            f"features: {done} extracted, {resumed} already present, "
+            f"{skipped_missing} without a patches h5"
+        )
+        if done == 0 and resumed == 0 and skipped_missing > 0:
+            print(
+                "WARNING: no slide had a patches h5 under "
+                f"{prep / 'patches'} — did you run --step patch at the same "
+                "--level?"
+            )
         return
 
     raise ValueError("step must be 'patch' or 'features'")

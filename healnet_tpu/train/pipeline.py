@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from healnet_tpu.constants import VALID_DATASETS  # shared with cli/tasks.py
 from healnet_tpu.etl import TCGADataset, class_weights, train_val_test_split
 from healnet_tpu.models import HealNetModule
 from healnet_tpu.models.baselines import (
@@ -55,7 +56,6 @@ _DATASET_CACHE: Dict[str, Any] = {"key": None, "dataset": None, "arena_device": 
 
 VALID_SOURCES = ["omic", "slides"]
 VALID_LOSSES = ["nll", "ce_survival", "cox"]
-VALID_DATASETS = ["blca", "brca", "kirp", "ucec", "hnsc", "paad", "luad", "lusc"]
 VALID_MODELS = [
     "healnet", "fcnn", "healnet_early", "mcat", "mm_prognosis", "multimodn", "motcat",
 ]

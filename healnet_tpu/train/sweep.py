@@ -173,7 +173,11 @@ class Sweep:
         return best
 
     def save_csv(self, path) -> None:
+        from pathlib import Path
+
         import pandas as pd
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
 
         rows = []
         for t in self.trials:

@@ -28,7 +28,12 @@ class Box(dict):
             return Box(value)
         if isinstance(value, (list, tuple)):
             converted = [Box._convert(v) for v in value]
-            return type(value)(converted) if isinstance(value, tuple) else converted
+            if isinstance(value, tuple):
+                # namedtuples take N positional args, not one iterable
+                if hasattr(value, "_fields"):
+                    return type(value)(*converted)
+                return tuple(converted)
+            return converted
         return value
 
     def __setitem__(self, key, value):

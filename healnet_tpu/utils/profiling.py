@@ -60,6 +60,8 @@ class StepTimer:
     def stop(self, fence=None) -> float:
         """End the step; ``fence`` is a device scalar to fetch (the only
         reliable synchronisation on this image — see module docstring)."""
+        if self._t0 is None:
+            raise RuntimeError("StepTimer.stop() called before start()")
         if fence is not None:
             float(np.asarray(fence).ravel()[0])
         dt = time.perf_counter() - self._t0
@@ -68,6 +70,11 @@ class StepTimer:
 
     def summary(self, skip_warmup: int = 1) -> Dict[str, float]:
         ds = np.asarray(self._durations[skip_warmup:] or self._durations)
+        if ds.size == 0:  # no steps recorded: well-defined empty summary
+            return {
+                "steps": 0, "mean_s": float("nan"), "p50_s": float("nan"),
+                "p95_s": float("nan"), "samples_per_sec": float("nan"),
+            }
         return {
             "steps": len(ds),
             "mean_s": float(ds.mean()),

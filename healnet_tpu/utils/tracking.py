@@ -50,7 +50,12 @@ class Tracker:
 
         if self.use_wandb:  # pragma: no cover
             _wandb.init(project=project, name=name, config=self.config, resume=True)
-            self.log_dir = Path(log_dir) if log_dir else Path(_wandb.run.dir)
+            # per-run subdirectory in wandb mode too: a bare base dir would
+            # interleave metrics.jsonl and clobber summary/explainer
+            # artifacts across runs
+            self.log_dir = (
+                Path(log_dir) / self.name if log_dir else Path(_wandb.run.dir)
+            )
         else:
             base = Path(log_dir) if log_dir else Path("logs")
             self.log_dir = base / self.name
