@@ -228,9 +228,7 @@ class Attention(nn.Module):
             return 1
         from healnet_tpu.parallel.mesh import AXIS_SEQ
 
-        return dict(
-            zip(self.mesh.axis_names, self.mesh.devices.shape)
-        ).get(AXIS_SEQ, 1)
+        return dict(self.mesh.shape).get(AXIS_SEQ, 1)
 
     def _should_use_seq_parallel(
         self, is_cross: bool, return_weights: bool, dropout_rate: float, lkv: int

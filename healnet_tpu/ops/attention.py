@@ -44,11 +44,14 @@ def attention_scores(
     Returns:
         probabilities ``(b, h, lq, lkv)``.
     """
-    sim = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k) * scale / temperature
     if kv_mask is not None:
+        # fill AFTER the temperature division: dividing the half-finfo.max
+        # fill by a temperature < 0.5 would overflow to -inf and turn
+        # fully-masked rows into NaN (NaN * the zero-guard is still NaN)
         fill = mask_value(sim.dtype)
         sim = jnp.where(kv_mask[:, None, None, :], sim, fill)
-    return jax.nn.softmax(sim / temperature, axis=-1)
+    return jax.nn.softmax(sim, axis=-1)
 
 
 def multihead_attention(

@@ -28,7 +28,7 @@ def global_batch_from_host_local(batch: Dict[str, Any], mesh: Mesh):
     """
     if jax.process_count() == 1:
         return put_batch(batch, mesh)
-    shardings = batch_shardings(batch, mesh)
+    shardings = batch_shardings(batch, mesh, batch_axis_factor=jax.process_count())
 
     def assemble(local, sharding):
         local = np.asarray(local)

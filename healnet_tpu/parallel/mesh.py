@@ -137,7 +137,7 @@ def param_shardings(params, mesh: Mesh, tensor_parallel: bool = True):
             return NamedSharding(mesh, P())
         spec = param_spec(_leaf_path(keypath))
         # guard: only shard dims that divide evenly
-        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        sizes = dict(mesh.shape)
         ok = True
         for dim, axis in enumerate(spec):
             if axis is not None and leaf.shape[dim] % sizes[axis] != 0:

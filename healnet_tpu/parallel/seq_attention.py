@@ -88,7 +88,7 @@ def sequence_parallel_attention(
     # axis over `model`, so entering the shard_map never all-gathers what the
     # surrounding GSPMD program keeps distributed — only the online-softmax
     # partials (b, h, lq, {1,d}) ever cross the interconnect
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    sizes = dict(mesh.shape)
     b_axis = AXIS_DATA if q.shape[0] % max(sizes.get(AXIS_DATA, 1), 1) == 0 else None
     h_axis = (
         AXIS_MODEL

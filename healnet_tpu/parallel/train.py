@@ -33,20 +33,27 @@ from healnet_tpu.train.losses import survival_loss
 from healnet_tpu.utils.train_utils import l1_norm
 
 
-def batch_shardings(batch: Dict[str, Any], mesh: Mesh):
+def batch_shardings(batch: Dict[str, Any], mesh: Mesh, batch_axis_factor: int = 1):
     """Sharding pytree for a survival batch.
 
     Leading axis over ``data`` everywhere; for rank>=3 modality tensors the
     token axis is additionally sharded over ``seq`` when it divides evenly.
+
+    ``batch_axis_factor``: multi-host assembly passes process-LOCAL slices,
+    so divisibility of the leading axis must be judged on the GLOBAL length
+    (local * process_count) — a local slice smaller than the data axis would
+    otherwise silently drop the data spec while the assembled global batch
+    divides fine.
     """
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    sizes = dict(mesh.shape)
 
     def shard_leaf(leaf):
-        leaf = np.asarray(leaf)
-        spec = [None] * leaf.ndim
-        if leaf.ndim >= 1 and leaf.shape[0] % sizes[AXIS_DATA] == 0:
+        ndim = np.ndim(leaf)       # no-copy introspection (device arrays stay put)
+        shape = np.shape(leaf)
+        spec = [None] * ndim
+        if ndim >= 1 and (shape[0] * batch_axis_factor) % sizes[AXIS_DATA] == 0:
             spec[0] = AXIS_DATA
-        if leaf.ndim >= 3 and leaf.shape[1] % sizes[AXIS_SEQ] == 0 and leaf.shape[1] > 1:
+        if ndim >= 3 and shape[1] % sizes[AXIS_SEQ] == 0 and shape[1] > 1:
             spec[1] = AXIS_SEQ
         return NamedSharding(mesh, P(*spec))
 
@@ -74,12 +81,20 @@ def make_sharded_train_step(
 ) -> Callable:
     """Build a jitted SPMD train step: (params, opt_state, batch, rng) -> ...
 
-    Shardings are attached via ``jax.jit`` in/out annotations once the first
-    concrete (params, batch) pair is seen; callers shard inputs with
-    :func:`put_batch` / :func:`healnet_tpu.parallel.mesh.shard_params`.
+    Callers place inputs with :func:`put_batch` /
+    :func:`healnet_tpu.parallel.mesh.shard_params`; the step additionally
+    CONSTRAINS the parameters to the mesh's layout (TP rules, or replicated
+    when ``tensor_parallel=False``), so params restored from a checkpoint
+    or placed inconsistently are re-laid-out instead of silently running
+    with whatever sharding they arrived in.
     """
+    from healnet_tpu.parallel.mesh import param_shardings
 
     def train_step(params, opt_state, batch, rng):
+        params = jax.lax.with_sharding_constraint(
+            params, param_shardings(params, mesh, tensor_parallel)
+        )
+
         def loss_fn(p):
             logits = module.apply(
                 {"params": p},

@@ -130,3 +130,24 @@ def test_split_heads(rng):
     y = split_heads(x, heads=3)
     assert y.shape == (2, 3, 5, 4)
     np.testing.assert_allclose(np.asarray(y[0, 1, 2]), np.asarray(x[0, 2, 4:8]))
+
+
+def test_masked_rows_finite_at_low_temperature(rng):
+    """Temperatures < 0.5 used to overflow the mask fill to -inf and turn
+    fully-masked rows into NaN (fill is now applied after the temperature
+    division); empty bags must still produce exactly zero."""
+    from healnet_tpu.ops.attention import multihead_attention
+
+    b, h, lq, lkv, d = 2, 2, 3, 5, 4
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, lkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, lkv, d)).astype(np.float32))
+    kv_mask = np.ones((b, lkv), bool)
+    kv_mask[1, :] = False  # sample 1: empty bag
+    for temperature in (0.25, 0.1, 0.5, 1.0):
+        out, _ = multihead_attention(
+            q, k, v, scale=d**-0.5, temperature=temperature,
+            kv_mask=jnp.asarray(kv_mask),
+        )
+        assert np.isfinite(np.asarray(out)).all(), temperature
+        np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
