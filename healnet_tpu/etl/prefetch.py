@@ -27,18 +27,49 @@ class BackgroundIterator:
         self._queue: "queue.Queue" = queue.Queue(maxsize=buffer_size)
         self._error: Optional[BaseException] = None
         self._exhausted = False
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for item in iterable:
-                    self._queue.put(item)
+                    # bounded put that notices close(): an abandoned
+                    # consumer (failed step, KeyboardInterrupt) must not
+                    # leave this thread pinned forever holding WSI-sized
+                    # batches
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as exc:  # propagate into the consumer
                 self._error = exc
             finally:
-                self._queue.put(_SENTINEL)
+                # the sentinel MUST be delivered on normal exhaustion (a
+                # full queue would drop it with put_nowait and hang the
+                # consumer's next get()); the stop flag still bounds it
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(_SENTINEL, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Release the producer thread and buffered items."""
+        self._stop.set()
+        self._exhausted = True
+        while True:
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=2.0)
 
     def __iter__(self):
         return self
@@ -93,3 +124,10 @@ class DevicePrefetcher:
             except StopIteration:
                 return
             self._ready.append(self._put(host_batch))
+
+    def close(self) -> None:
+        """Release the background producer and buffered batches (safe to
+        call after normal exhaustion; REQUIRED after abandoning the
+        iterator mid-epoch, or the producer thread stays pinned)."""
+        self._src.close()
+        self._ready.clear()

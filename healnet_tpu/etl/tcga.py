@@ -213,6 +213,13 @@ class TCGADataset(Dataset):
             scanned = self._scan_max_patches()
             if self.max_patches is None:
                 self.max_patches = scanned
+            if self.patch_attention and self.max_patches is None:
+                raise ValueError(
+                    "patch_attention needs a static bag width, but no .npy "
+                    "patch features were found to scan (a .pt-only tree?). "
+                    "Either set data.max_patches explicitly or convert the "
+                    "features to .npy (np.save(torch.load(f).numpy()))."
+                )
         # native C++ cache for .npy feature files: byte-bounded LRU with a
         # background prefetch thread pool (cpp/healnet_runtime.cc)
         self._native = None
@@ -401,7 +408,12 @@ class TCGADataset(Dataset):
         if npy.exists():
             # the native cache decodes to f32; use it only when f32 is wanted
             if self._native is not None and self.feature_dtype == np.float32:
-                feats = self._native.load(npy)
+                try:
+                    feats = self._native.load(npy)
+                except IOError:
+                    # the minimal C++ parser only accepts little-endian
+                    # f4/f8 C-order arrays — fall back rather than abort
+                    feats = np.load(npy)
             else:
                 feats = np.load(npy)
         else:

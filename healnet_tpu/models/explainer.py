@@ -55,6 +55,7 @@ class Explainer:
         self.raw_path = Path(self.config["tcga_path"]) / "wsi" / self.dataset
 
         print("Initializing dataset...")
+        max_patches = self.config.get("data.max_patches")
         self.data = TCGADataset(
             dataset=self.dataset,
             config=self.config,
@@ -62,6 +63,12 @@ class Explainer:
             sources=list(self.config["sources"]),
             n_bins=int(self.config["model_params.output_dims"]),
             log_dir=None,
+            # the run's static bag width MUST be reproduced: auto-scanning a
+            # larger cohort maximum would rebuild slide tensors wider than
+            # the checkpointed projections
+            max_patches=(
+                None if max_patches in (None, "None", "null") else int(max_patches)
+            ),
         )
         self.omic_df = self.data.omic_df
         print("Loading model...")
@@ -69,7 +76,6 @@ class Explainer:
 
     # ------------------------------------------------------------- restore
     def load_model(self) -> HealNet:
-        sample, *_ = self.data[0], None
         feat = self.data[0][0]
         num_sources = len(self.config["sources"])
         if num_sources == 1:
@@ -156,10 +162,23 @@ class Explainer:
         save_patches: bool = True,
         downsample: Optional[float] = None,
     ) -> Dict:
-        pos = int(self.omic_df.index.get_loc(idx))
-        tensors, _, _, _ = self.data[pos]
+        # run_sample_explanation is also a public entry point (not only
+        # driven by run(), which sets save_name per high/low-risk rank)
+        if not hasattr(self, "save_name"):
+            self.save_name = str(slide_id)
+        # duplicate index labels are tolerated by the loader; get_loc would
+        # return a slice/mask for them
+        pos = int(np.flatnonzero(self.omic_df.index == idx)[0])
+        tensors, _, _, _, n_valid = self.data._sample(pos)
         batched = [np.asarray(t)[None] for t in tensors]
-        logits = np.asarray(self.model(batched))
+        # reproduce the training-time KV mask: padded patch rows must not
+        # receive attention mass in the maps being explained
+        mask = None
+        if self.data.patch_attention and n_valid is not None:
+            width = batched[-1].shape[1]
+            mask = [None] * len(batched)
+            mask[-1] = (np.arange(width) < n_valid)[None, :]
+        logits = np.asarray(self.model(batched, mask=mask))
         weights = self.model.get_attention_weights()
 
         n_omic_tokens = batched[0].shape[1]

@@ -709,17 +709,23 @@ class SurvivalTrainer:
                     )
                 else:
                     placed = (_put(b) for b in batches)
-                for device_batch, meta in placed:
-                    rng, step_rng = jax.random.split(rng)
-                    self.params, self.opt_state, loss, risk = self._train_step(
-                        self.params, self.opt_state, device_batch, step_rng,
-                        self._device_arena(), self.class_weights,
-                    )
-                    losses.append(loss)
-                    risks.append(np.asarray(risk))
-                    cens.append(meta["censorship"])
-                    times.append(meta["event_time"])
-                    masks.append(meta["sample_mask"])
+                try:
+                    for device_batch, meta in placed:
+                        rng, step_rng = jax.random.split(rng)
+                        self.params, self.opt_state, loss, risk = self._train_step(
+                            self.params, self.opt_state, device_batch, step_rng,
+                            self._device_arena(), self.class_weights,
+                        )
+                        losses.append(loss)
+                        risks.append(np.asarray(risk))
+                        cens.append(meta["censorship"])
+                        times.append(meta["event_time"])
+                        masks.append(meta["sample_mask"])
+                finally:
+                    # a failed step must not leave the prefetch producer
+                    # thread pinned on its queue holding WSI-sized batches
+                    if hasattr(placed, "close"):
+                        placed.close()
 
             mask = np.concatenate(masks) > 0
             # weight each batch's loss by the count its own normalizer used:

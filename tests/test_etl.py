@@ -531,3 +531,27 @@ def test_count_batches_includes_bucket_remainders(ragged_tcga_root):
     assert exact == actual
     assert exact > int(np.ceil(len(ds) / 4))  # remainder per bucket
     assert ds.count_batches(None, 4) == int(np.ceil(len(ds) / 4))
+
+
+def test_background_iterator_shutdown_and_sentinel():
+    """close() releases an abandoned producer thread; a FULL buffer at
+    exhaustion must still deliver StopIteration (the sentinel used to be
+    dropped by put_nowait, hanging the consumer)."""
+    import itertools
+    import time as _time
+
+    from healnet_tpu.etl.prefetch import BackgroundIterator
+
+    # abandoned mid-iteration: producer must exit on close()
+    it = BackgroundIterator(itertools.count(), buffer_size=2)
+    assert next(it) == 0
+    it.close()
+    _time.sleep(0.5)
+    assert not it._thread.is_alive()
+
+    # tiny buffer, consumer slower than producer: queue is full when the
+    # generator ends — iteration must still terminate
+    it2 = BackgroundIterator(iter(range(5)), buffer_size=1)
+    _time.sleep(0.3)  # let the producer fill the queue and finish
+    assert list(it2) == [0, 1, 2, 3, 4]
+    it2.close()
