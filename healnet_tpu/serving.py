@@ -85,7 +85,20 @@ class Predictor:
         and (n,) for risk.
         """
         n_mod = len(tensors)
-        n = next(np.asarray(t).shape[0] for t in tensors if t is not None)
+        n = next(
+            (np.asarray(t).shape[0] for t in tensors if t is not None),
+            None if presence is None else np.asarray(presence).shape[0],
+        )
+        assert n is not None, (
+            "at least one modality tensor (or a presence matrix) is required"
+        )
+        if n == 0:  # empty request: empty, well-shaped outputs
+            zero = lambda *tail: np.zeros((0, *tail), np.float32)
+            nb = self.module.out_dims if hasattr(self.module, "out_dims") else 0
+            return {
+                "logits": zero(nb), "hazards": zero(nb),
+                "survival": zero(nb), "risk": zero(),
+            }
 
         # materialise missing modalities as zeros + presence mask
         full = []

@@ -139,7 +139,9 @@ def ce_loss(
         jnp.log(_gather(s_padded, y) + eps)
         + jnp.log(jnp.clip(_gather(hazards, y), min=eps))
     )
-    s_y = jnp.clip(_gather(survival, y), min=eps)
+    # two-sided clip: s_y == 1.0 (hazard underflow for a confident
+    # low-risk sample) would make log(1 - s_y) = -inf and NaN the grads
+    s_y = jnp.clip(_gather(survival, y), min=eps, max=1.0 - eps)
     ce_l = -c * jnp.log(s_y) - (1.0 - c) * jnp.log(1.0 - s_y)
     loss = (1.0 - alpha) * ce_l + alpha * reg
     return _reduce_mean(loss, sample_weights)
@@ -164,8 +166,11 @@ def cox_ph_loss(
 ) -> jnp.ndarray:
     """Vectorised Cox proportional-hazards partial likelihood.
 
-    ``loss = -mean((theta_i - log sum_{j in R_i} exp(theta_j)) * event_i)``
-    with risk set ``R_i = {j : order_values[j] >= order_values[i]}`` — the
+    ``loss = -sum_i((theta_i - log sum_{j in R_i} exp(theta_j)) * event_i)
+    / max(n_events, 1)`` — normalised by the EVENT count, not the batch
+    size (aggregating per-batch values therefore needs events-per-batch
+    weights; see `train/loop.py` evaluate()). Risk set
+    ``R_i = {j : order_values[j] >= order_values[i]}`` — the
     broadcast-comparison equivalent of the reference's O(n²) Python loop
     (`survival_loss.py:155-164`), with the normaliser computed as a
     numerically-stable masked log-sum-exp.
@@ -246,9 +251,9 @@ def survival_loss(
             alpha=0.15, sample_weights=sw,
         )
     elif loss_type == "cox":
+        # theta IS the returned risk score (risk = -sum(survival))
         loss = cox_ph_loss(
-            -jnp.sum(survival, axis=1), batch["event_time"], batch["censorship"],
-            sample_weights=sw,
+            risk, batch["event_time"], batch["censorship"], sample_weights=sw,
         )
     else:
         raise ValueError(f"unknown loss_type {loss_type}")

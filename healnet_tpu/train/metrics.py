@@ -45,21 +45,27 @@ def concordance_index_censored(
             "All samples are censored — concordance index is undefined"
         )
 
-    # comparable[i, j]: i has an event and j outlives i (or ties censored)
-    later = time[None, :] > time[:, None]
-    tied_censored = (time[None, :] == time[:, None]) & (~event[None, :])
-    comparable = event[:, None] & (later | tied_censored)
-    np.fill_diagonal(comparable, False)
+    # row-blockwise pair counting: identical results to the full n x n
+    # broadcast, but bounded memory (the all-at-once float64 diff matrix
+    # alone is 8*n^2 bytes — ~5 GB at a 25k-sample pooled cohort; this is
+    # the fallback path when the native library is unavailable)
+    concordant = tied_risk = total = tied_time = 0
+    block = max(1, int(2**22 // max(n, 1)))  # ~32 MB of f64 per block
+    for start in range(0, n, block):
+        sl = slice(start, min(start + block, n))
+        later = time[None, :] > time[sl, None]
+        ties_t = time[None, :] == time[sl, None]
+        tied_censored = ties_t & (~event[None, :])
+        comparable = event[sl, None] & (later | tied_censored)
+        rows = np.arange(sl.start, sl.stop)
+        comparable[np.arange(rows.size), rows] = False  # no self-pairs
 
-    diff = est[:, None] - est[None, :]  # diff[i, j] = est_i - est_j
-    tied_risk_mask = np.abs(diff) <= tied_tol
-    concordant_mask = diff > tied_tol
-
-    concordant = int(np.sum(comparable & concordant_mask))
-    tied_risk = int(np.sum(comparable & tied_risk_mask))
-    total = int(np.sum(comparable))
+        diff = est[sl, None] - est[None, :]
+        concordant += int(np.sum(comparable & (diff > tied_tol)))
+        tied_risk += int(np.sum(comparable & (np.abs(diff) <= tied_tol)))
+        total += int(np.sum(comparable))
+        tied_time += int(np.sum(comparable & ties_t))
     discordant = total - concordant - tied_risk
-    tied_time = int(np.sum(comparable & (time[None, :] == time[:, None])))
 
     if total == 0:
         raise ValueError("No comparable pairs available")

@@ -45,7 +45,13 @@ def onecycle_beta1(
     max_momentum: float = 0.95,
     base_momentum: float = 0.85,
 ):
-    """torch OneCycleLR momentum cycling: max -> base over warmup, back to max."""
+    """torch OneCycleLR momentum cycling: max -> base over warmup, back to max.
+
+    Applies the SAME short-run floor as :func:`onecycle_lr`, so the momentum
+    phases stay synchronized with the LR phases (torch's invariant: momentum
+    moves inversely to LR over identical boundaries).
+    """
+    total_steps = max(int(total_steps), int(np.ceil(1.0 / pct_start)) + 1)
     warmup = max(int(pct_start * total_steps), 1)
 
     def schedule(step):
@@ -79,8 +85,11 @@ def make_optimizer(
         opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=b1)
     else:
         opt = optax.adam(learning_rate=lr)
-    if weight_decay is not None and not (
-        isinstance(weight_decay, str) or weight_decay in (0, 0.0)
-    ):
+    if isinstance(weight_decay, str):
+        # configs deliver strings ("1e-4", or the reference's literal "None");
+        # silently ignoring them would train without the requested decay
+        weight_decay = None if weight_decay.lower() in ("none", "null", "") \
+            else float(weight_decay)
+    if weight_decay is not None and weight_decay not in (0, 0.0):
         opt = optax.chain(optax.add_decayed_weights(float(weight_decay)), opt)
     return opt
