@@ -218,26 +218,28 @@ def preprocess(
                 # time — trust those over the CLI flags, or cropped regions
                 # silently cover the wrong area on a mismatch
                 attrs = dict(f["coords"].attrs)
-            if "patch_size" in attrs and int(attrs["patch_size"]) != patch_size:
+            # per-slide geometry: never mutate the CLI flags, or one slide's
+            # attrs would leak into every later slide that lacks attrs
+            ps = int(attrs.get("patch_size", patch_size))
+            lv = int(attrs.get("patch_level", level))
+            if ps != patch_size:
                 print(
-                    f"{path.stem}: using patch_size {int(attrs['patch_size'])} "
+                    f"{path.stem}: using patch_size {ps} "
                     f"from the patches h5 (CLI said {patch_size})"
                 )
-                patch_size = int(attrs["patch_size"])
-            if "patch_level" in attrs and int(attrs["patch_level"]) != level:
+            if lv != level:
                 print(
-                    f"{path.stem}: using level {int(attrs['patch_level'])} "
+                    f"{path.stem}: using level {lv} "
                     f"from the patches h5 (CLI said {level})"
                 )
-                level = int(attrs["patch_level"])
             if max_patches is not None:
                 coords = coords[:max_patches]
             slide = OpenSlide(path)
             patches = np.zeros((len(coords), 224, 224, 3), np.uint8)
             for i, (x0, y0) in enumerate(coords):
                 region = slide.read_region(
-                    (int(x0), int(y0)), min(level, slide.level_count - 1),
-                    (patch_size, patch_size),
+                    (int(x0), int(y0)), min(lv, slide.level_count - 1),
+                    (ps, ps),
                 )[:, :, :3]
                 patches[i] = cv2.resize(region, (224, 224))
             features = extractor(patches)  # (n, 2048) on TPU

@@ -168,7 +168,10 @@ class Explainer:
             self.save_name = str(slide_id)
         # duplicate index labels are tolerated by the loader; get_loc would
         # return a slice/mask for them
-        pos = int(np.flatnonzero(self.omic_df.index == idx)[0])
+        hits = np.flatnonzero(self.omic_df.index == idx)
+        if hits.size == 0:
+            raise KeyError(f"sample {idx!r} not found in the omic index")
+        pos = int(hits[0])
         tensors, _, _, _, n_valid = self.data._sample(pos)
         batched = [np.asarray(t)[None] for t in tensors]
         # reproduce the training-time KV mask: padded patch rows must not

@@ -1,14 +1,17 @@
 """YAML config system with ``!include``, per-user overlays, and dotted-key flattening.
 
 Behavioural parity with the reference config stack
-(`/root/reference/healnet/utils/config.py:12-119`):
+(`/root/reference/healnet/utils/config.py:12-119`) — the *observable semantics*
+match exactly (``!include`` splicing, ``config.$USER.yml`` overlay, dotted
+flatten so sweep parameters can overwrite leaves); the implementation and
+naming are this package's own:
 
 - ``Config(path).read()`` returns an attribute-accessible mapping (:class:`Box`).
 - A custom ``!include other.yml`` constructor splices sub-configs relative to the
   including file.
 - If ``config.$USER.yml`` exists next to ``config.yml`` it recursively overrides it.
 - :func:`flatten_config` flattens nested mappings to dotted keys
-  (``{"a": {"b": 1}} -> {"a.b": 1}``) so sweep parameters can overwrite leaves.
+  (``{"a": {"b": 1}} -> {"a.b": 1}``).
 """
 
 from __future__ import annotations
@@ -22,20 +25,24 @@ import yaml
 from healnet_tpu.utils.boxdict import Box
 
 
-class CustomYamlLoader(yaml.FullLoader):
-    """YAML loader adding an ``!include`` constructor (reference `config.py:12-39`)."""
+class IncludeLoader(yaml.FullLoader):
+    """YAML loader with an ``!include`` constructor.
+
+    Included paths resolve relative to the including file; each included file
+    gets its own per-user overlay applied before splicing (same layering the
+    reference implements, `config.py:12-39`).
+    """
 
     def __init__(self, stream):
-        self._root = os.path.split(getattr(stream, "name", ""))[0]
+        self._include_root = os.path.split(getattr(stream, "name", ""))[0]
         super().__init__(stream)
 
-    def include(self, node: yaml.nodes.ScalarNode) -> Box:
-        filename = os.path.join(self._root, self.construct_scalar(node))
-        subconfig = _read(filename, loader=CustomYamlLoader)
-        return _overwrite_with_user_specific_file(subconfig, filename=filename)
+    def _construct_include(self, node: yaml.nodes.ScalarNode) -> Box:
+        target = os.path.join(self._include_root, self.construct_scalar(node))
+        return _apply_user_overlay(_load_yaml(target), filename=target)
 
 
-CustomYamlLoader.add_constructor("!include", CustomYamlLoader.include)
+IncludeLoader.add_constructor("!include", IncludeLoader._construct_include)
 
 
 class Config:
@@ -44,48 +51,49 @@ class Config:
 
     def read(self) -> Box:
         """Read the main config file, applying any per-user overlay."""
-        if os.path.isfile(self._config_path) and os.access(self._config_path, os.R_OK):
-            config = _read(filename=self._config_path, loader=CustomYamlLoader)
-            return _overwrite_with_user_specific_file(config, filename=self._config_path)
-        raise FileNotFoundError(self._config_path)
+        if not _readable(self._config_path):
+            raise FileNotFoundError(self._config_path)
+        return _apply_user_overlay(
+            _load_yaml(self._config_path), filename=self._config_path
+        )
 
 
-def _user_specific_file(filename: str) -> Optional[str]:
+def _readable(path: str) -> bool:
+    return os.path.isfile(path) and os.access(path, os.R_OK)
+
+
+def _user_overlay_path(filename: str) -> Optional[str]:
     """``config.yml`` -> ``config.$USER.yml`` if that file exists, else None."""
-    username = getpass.getuser().lower().replace(" ", "_")
-    filepath, file_extension = os.path.splitext(filename)
-    user_filename = filepath + "." + username + file_extension
-    if os.path.isfile(user_filename) and os.access(user_filename, os.R_OK):
-        return user_filename
-    return None
+    user = getpass.getuser().lower().replace(" ", "_")
+    stem, ext = os.path.splitext(filename)
+    candidate = f"{stem}.{user}{ext}"
+    return candidate if _readable(candidate) else None
 
 
-def _read(filename: str, loader) -> Box:
-    if os.path.isfile(filename) and os.access(filename, os.R_OK):
-        with open(filename, "r") as f:
-            config_dict = yaml.load(f, Loader=loader)
-        return Box(config_dict or {})
-    raise FileNotFoundError(filename)
+def _load_yaml(filename: str) -> Box:
+    if not _readable(filename):
+        raise FileNotFoundError(filename)
+    with open(filename, "r") as f:
+        return Box(yaml.load(f, Loader=IncludeLoader) or {})
 
 
-def _overwrite_with_user_specific_file(config: Box, filename: str) -> Box:
-    user_filename = _user_specific_file(filename)
-    if user_filename:
-        user_config = _read(user_filename, loader=CustomYamlLoader)
-        config.merge_update(user_config)
+def _apply_user_overlay(config: Box, filename: str) -> Box:
+    overlay = _user_overlay_path(filename)
+    if overlay is not None:
+        config.merge_update(_load_yaml(overlay))
     return config
 
 
 def flatten_config(dictionary, parent_key: str = "", sep: str = ".") -> Box:
-    """Flatten nested mappings to dotted keys (reference `config.py:98-119`)."""
-    flattened = {}
+    """Flatten nested mappings to dotted keys (reference semantics, `config.py:98-119`)."""
+    items = []
     for key, value in dictionary.items():
-        new_key = f"{parent_key}{sep}{key}" if parent_key else key
+        dotted = sep.join((parent_key, str(key))) if parent_key else str(key)
         if isinstance(value, dict):
-            flattened.update(flatten_config(value, parent_key=new_key, sep=sep))
+            items.extend(flatten_config(value, parent_key=dotted, sep=sep).items())
         else:
-            flattened[new_key] = value
-    return Box(flattened)
+            items.append((dotted, value))
+    return Box(dict(items))
 
 
 def unflatten_config(dictionary, sep: str = ".") -> Box:
