@@ -158,9 +158,12 @@ class Pipeline:
 
         summary = {}
         for key, values in fold_metrics.items():
-            # nanmean: tiny all-censored eval splits yield undefined c-index
-            summary[f"mean_{key}"] = float(np.nanmean(values))
-            summary[f"std_{key}"] = float(np.nanstd(values))
+            # tiny all-censored eval splits yield undefined (NaN) c-index;
+            # filter them out explicitly so an all-NaN column summarises to
+            # NaN without numpy's "Mean of empty slice" RuntimeWarning
+            finite = [v for v in values if np.isfinite(v)]
+            summary[f"mean_{key}"] = float(np.mean(finite)) if finite else float("nan")
+            summary[f"std_{key}"] = float(np.std(finite)) if finite else float("nan")
         self.tracker.log(summary)
 
         test_c = np.asarray(fold_metrics["test_c_index"], dtype=float)
@@ -355,10 +358,20 @@ class Pipeline:
         # the trainer uploads it to HBM once and every epoch streams only
         # indices (k-fold views share the parent dataset's single arena)
         feature_arena = None
+        arena_sharded = False
         parent = getattr(train_view, "parent", train_view)
         if getattr(parent, "device_cache", False):
             arena, offsets, lengths = parent.feature_arena()
-            if self._arena_device is None:
+            # data.shard_arena: shard arena rows over the mesh's seq axis
+            # (cohorts beyond one chip's HBM — parallel/arena.py). The host
+            # pack stays resident (the trainer builds the halo'd shards from
+            # it once); the replicated-upload path below is skipped.
+            arena_sharded = bool(self.config.get("data.shard_arena", False)) and (
+                mesh is not None
+            )
+            if arena_sharded:
+                feature_arena = (np.asarray(arena), offsets, lengths)
+            elif self._arena_device is None:
                 # one HBM upload per RUN — every fold's trainer receives the
                 # already-resident device array (device_put no-ops on it)
                 if mesh is not None:
@@ -375,7 +388,8 @@ class Pipeline:
                 if _DATASET_CACHE["dataset"] is parent:
                     # later Pipelines (sweep trials) reuse the HBM upload too
                     _DATASET_CACHE["arena_device"] = self._arena_device
-            feature_arena = (self._arena_device, offsets, lengths)
+            if not arena_sharded:
+                feature_arena = (self._arena_device, offsets, lengths)
             example_batch = dict(
                 example_batch, arena_dim=int(arena.shape[1])
             )
@@ -406,6 +420,7 @@ class Pipeline:
             keep_checkpoints=self.config.get("train_loop.keep_checkpoints", 3),
             feature_arena=feature_arena,
             fused_epochs=bool(self.config.get("train_loop.fused_epochs", False)),
+            arena_sharded=arena_sharded,
         )
         return self._trainer
 
