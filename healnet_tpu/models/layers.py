@@ -186,14 +186,17 @@ class Attention(nn.Module):
         # context_dim (shape/mask heuristics misfire when a context happens
         # to have exactly as many tokens as the latent array)
         is_cross = self.context_dim is not None
-        if self._should_use_seq_parallel(
-            is_cross, return_weights, dropout_rate, kh.shape[2]
-        ):
+        if self._should_use_seq_parallel(is_cross, return_weights, kh.shape[2]):
+            from healnet_tpu.ops.hash_dropout import seed_from_rng
             from healnet_tpu.parallel.seq_attention import sequence_parallel_attention
 
             out = sequence_parallel_attention(
                 qh, kh, vh, self.mesh,
                 scale=scale, temperature=self.temperature, kv_mask=kv_mask,
+                dropout_rate=dropout_rate,
+                dropout_seed=(
+                    seed_from_rng(dropout_rng) if dropout_rate > 0.0 else None
+                ),
             )
             return nn.leaky_relu(self.to_out(out), negative_slope=1e-2), None
 
@@ -204,7 +207,9 @@ class Attention(nn.Module):
             from healnet_tpu.ops.flash_attention import flash_cross_attention
 
             out = flash_cross_attention(
-                qh, kh, vh, scale=scale, temperature=self.temperature, kv_mask=kv_mask
+                qh, kh, vh, scale=scale, temperature=self.temperature,
+                kv_mask=kv_mask,
+                dropout_rate=dropout_rate, dropout_rng=dropout_rng,
             )
             weights = None
         else:
@@ -231,24 +236,21 @@ class Attention(nn.Module):
         return dict(self.mesh.shape).get(AXIS_SEQ, 1)
 
     def _should_use_seq_parallel(
-        self, is_cross: bool, return_weights: bool, dropout_rate: float, lkv: int
+        self, is_cross: bool, return_weights: bool, lkv: int
     ) -> bool:
         # only cross-attention benefits (self-attention queries == keys ==
-        # tiny replicated latents); attention-prob dropout and weight capture
-        # need the materialised (lq, lkv) matrix, so they take the GSPMD path
+        # tiny replicated latents); weight capture needs the materialised
+        # (lq, lkv) matrix, so it takes the GSPMD path. Dropout is supported
+        # via the coordinate-hash counter RNG (hash_dropout) — the tuned
+        # configs all train with attn_dropout on, so the SPMD training path
+        # must survive it.
         seq = self._seq_size()
-        return (
-            seq > 1
-            and is_cross
-            and not return_weights
-            and dropout_rate == 0.0
-            and lkv % seq == 0
-        )
+        return seq > 1 and is_cross and not return_weights and lkv % seq == 0
 
     def _should_use_flash(
         self, return_weights: bool, dropout_rate: float, b: int, lq: int, lkv: int
     ) -> bool:
-        if return_weights or dropout_rate > 0.0:
+        if return_weights:
             return False
         if self.attention_impl == "flash":
             return True
@@ -265,9 +267,13 @@ class Attention(nn.Module):
             # comparable to the KV stream (lq >= dim_head) at long contexts,
             # flash wins 1.4-2.8x by never materialising the (lq x lkv)
             # weights. Also engage whenever the weights would threaten HBM.
+            # With dropout on, the XLA path additionally materialises the
+            # bernoulli keep mask in HBM while flash hashes it in-register —
+            # flash breaks even earlier (measured: ~1.1-1.3x at lq>=32).
             weights_bytes = b * self.heads * lq * lkv * 4
             big_weights = weights_bytes > 2 * 1024**3
-            flash_regime = lq >= self.dim_head and lkv >= 8192
+            lq_floor = self.dim_head if dropout_rate == 0.0 else min(self.dim_head, 32)
+            flash_regime = lq >= lq_floor and lkv >= 8192
             return flash_regime or big_weights
         return False
 

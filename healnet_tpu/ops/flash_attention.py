@@ -23,9 +23,17 @@ Layout:
   in scratch (flash backward with the delta = rowsum(dO * O) trick).
 
 Falls back to interpret mode off-TPU so CPU tests exercise identical code.
-Dropout on attention probabilities and weight-inspection are handled by the
-XLA path (`healnet_tpu.ops.attention`) — the module layer routes there when
-either is requested.
+
+Dropout on the attention probabilities (`/root/reference/healnet/models/
+healnet.py:421`) is implemented with the coordinate-hash counter RNG from
+:mod:`healnet_tpu.ops.hash_dropout`: the keep decision is a pure function of
+(seed, row, q index, kv index), so the forward's (lq, C)-blocked kernel and
+the backward's transposed (C, lq)-blocked kernel regenerate bit-identical
+masks regardless of chunk size or batch grouping, at the cost of a few VPU
+integer ops fused into the score pipeline — no (lq x lkv) mask ever touches
+HBM. Semantics match the XLA path: dropout applies to the *normalised*
+probabilities, the softmax denominator is computed pre-drop.
+Weight-inspection still routes to the XLA path at the module layer.
 """
 
 from __future__ import annotations
@@ -37,6 +45,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from healnet_tpu.ops.hash_dropout import hash_keep
 
 DEFAULT_KV_CHUNK = 2048
 _NEG_BIG = -1e30
@@ -58,13 +68,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_group(bh: int, lq: int, chunk: int, d: int, budget: int) -> int:
+def _pick_group(bh: int, lq: int, chunk: int, d: int, budget: int, n_tmp: int = 3) -> int:
     """Largest divisor of bh whose per-step buffers fit the VMEM budget.
 
     Accounts for double-buffered k/v input blocks plus the (lq x chunk)
-    score/prob temporaries the kernel materialises in registers/stack.
+    score/prob temporaries the kernel materialises in registers/stack
+    (``n_tmp`` of them; the dropout hash adds two more: ids + keep mask).
     """
-    per_g = 2 * (2 * chunk * d * 4) + 3 * lq * chunk * 4 + lq * (3 * d + 512) * 4
+    per_g = 2 * (2 * chunk * d * 4) + n_tmp * lq * chunk * 4 + lq * (3 * d + 512) * 4
     g = max(1, budget // max(per_g, 1))
     while g > 1 and bh % g != 0:
         g -= 1
@@ -73,7 +84,28 @@ def _pick_group(bh: int, lq: int, chunk: int, d: int, budget: int) -> int:
 
 # --------------------------------------------------------------------- fwd
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale):
+def _keep_scale(seed_ref, shape, row0, kv0, dropout_rate, transposed=False):
+    """(keep / keep_prob) multiplier over a score block.
+
+    ``shape`` is (G, lq, C) for the forward layout or (G, C, lq) when
+    ``transposed`` (the backward kernel's score layout); coordinates are
+    absolute, so both layouts regenerate the identical mask realisation.
+    ``seed_ref`` is a (1, 1) uint32 SMEM scalar (converted outside the
+    kernel: Mosaic has no scalar bitcast).
+    """
+    seed_u = seed_ref[0, 0]
+    rid = row0.astype(jnp.uint32) + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    kv_dim, q_dim = (1, 2) if transposed else (2, 1)
+    qid = jax.lax.broadcasted_iota(jnp.uint32, shape, q_dim)
+    kid = kv0.astype(jnp.uint32) + jax.lax.broadcasted_iota(jnp.uint32, shape, kv_dim)
+    keep = hash_keep(seed_u, rid, qid, kid, dropout_rate)
+    return keep.astype(jnp.float32) * (1.0 / (1.0 - dropout_rate))
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, seed_ref,
+    o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, dropout_rate
+):
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -102,11 +134,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr, acc
     # (exp(s - m) would be 1 when every key is masked and m == s == -1e30)
     p = jnp.exp(s - m_new) * mask               # (G, lq, C) f32
     correction = jnp.exp(m_prev - m_new)
+    # the softmax denominator uses the PRE-dropout probabilities (dropout
+    # applies to normalised probs, matching the XLA path / torch reference)
     l_new = l_prev * correction + jnp.sum(p, axis=2, keepdims=True)
+    if dropout_rate > 0.0:
+        g_sz, _, c_sz = s.shape
+        p_acc = p * _keep_scale(
+            seed_ref, s.shape, pl.program_id(0) * g_sz, j * c_sz, dropout_rate
+        )
+    else:
+        p_acc = p
     # probabilities cast to the value dtype for the second matmul (standard
     # flash practice; exact for f32 inputs, bf16-rounded otherwise)
     acc_scr[...] = acc_scr[...] * correction + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        p_acc.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -121,13 +162,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr, acc
         )
 
 
-def _fwd_call(q, k, v, mask, scale, kv_chunk, interpret):
+def _fwd_call(q, k, v, mask, seed, scale, kv_chunk, interpret, dropout_rate):
     bh, lq, d = q.shape
     _, lkv, _ = k.shape
     n_chunks = lkv // kv_chunk
-    g = _pick_group(bh, lq, kv_chunk, d, _FWD_BYTES_BUDGET)
+    n_tmp = 5 if dropout_rate > 0.0 else 3
+    g = _pick_group(bh, lq, kv_chunk, d, _FWD_BYTES_BUDGET, n_tmp=n_tmp)
 
-    kernel = functools.partial(_fwd_kernel, scale=scale)
+    kernel = functools.partial(_fwd_kernel, scale=scale, dropout_rate=dropout_rate)
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh // g, n_chunks),
@@ -139,6 +181,7 @@ def _fwd_call(q, k, v, mask, scale, kv_chunk, interpret):
             pl.BlockSpec((g, kv_chunk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, kv_chunk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 1, kv_chunk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((g, lq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -154,15 +197,15 @@ def _fwd_call(q, k, v, mask, scale, kv_chunk, interpret):
             pltpu.VMEM((g, lq, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, mask)
+    )(q, k, v, mask, seed)
     return out, lse[:, :, 0:1]
 
 
 # --------------------------------------------------------------------- bwd
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dk_ref, dv_ref, dq_scr, *, scale
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, seed_ref,
+    dq_ref, dk_ref, dv_ref, dq_scr, *, scale, dropout_rate
 ):
     """Flash backward in TRANSPOSED score layout.
 
@@ -193,13 +236,33 @@ def _bwd_kernel(
     s_t = s_t * scale + (mask_col - 1.0) * (-_NEG_BIG)
     p_t = jnp.exp(s_t - lse_row) * mask_col                    # (G, C, lq)
 
-    # dv_chunk = p^T @ do : (G, C, lq) x (G, lq, d) — canonical batched matmul
+    # regenerate the forward's dropout realisation from absolute coordinates
+    # (transposed block layout; see hash_dropout). With probs a, keep e, rate r:
+    #   out_i  = sum_j (e_ij/(1-r)) a_ij v_j
+    #   dv_j   = sum_i (e_ij/(1-r)) a_ij do_i
+    #   ds_ij  = a_ij * ((e_ij/(1-r)) dp_ij - delta_i),  delta = rowsum(dO*O)
+    # (delta absorbs the dropout factor because it is rowsum against the
+    # dropped-out output — the same identity as standard flash backward)
+    if dropout_rate > 0.0:
+        g_sz, c_sz, _ = s_t.shape
+        keep_scale = _keep_scale(
+            seed_ref, s_t.shape, pl.program_id(0) * g_sz, j * c_sz,
+            dropout_rate, transposed=True,
+        )
+        p_drop_t = p_t * keep_scale
+    else:
+        keep_scale = None
+        p_drop_t = p_t
+
+    # dv_chunk = p̃^T @ do : (G, C, lq) x (G, lq, d) — canonical batched matmul
     dv_ref[...] = jax.lax.dot_general(
-        p_t.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
+        p_drop_t.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
-    # dp_T = v do^T : (G, C, lq); ds_T = p_T * (dp_T - delta)
+    # dp_T = v do^T : (G, C, lq); ds_T = p_T * (keep·dp_T - delta)
     dp_t = jax.lax.dot_general(v, do, _BATCH_DN(), preferred_element_type=jnp.float32)
+    if keep_scale is not None:
+        dp_t = dp_t * keep_scale
     ds_t = p_t * (dp_t - delta_row)                       # (G, C, lq) f32
     ds_cast = ds_t.astype(q.dtype)
     # dk_chunk = ds^T @ q : (G, C, lq) x (G, lq, d) — canonical
@@ -220,15 +283,16 @@ def _bwd_kernel(
         dq_ref[...] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_call(q, k, v, mask, do, lse, delta, scale, kv_chunk, interpret):
+def _bwd_call(q, k, v, mask, do, lse, delta, seed, scale, kv_chunk, interpret, dropout_rate):
     bh, lq, d = q.shape
     _, lkv, _ = k.shape
     n_chunks = lkv // kv_chunk
     # bwd holds twice the chunk-sized buffers (k/v in, dk/dv out) — model that
     # by doubling the chunk in the working-set estimate
-    g = _pick_group(bh, lq, kv_chunk * 2, d, _BWD_BYTES_BUDGET)
+    n_tmp = 5 if dropout_rate > 0.0 else 3
+    g = _pick_group(bh, lq, kv_chunk * 2, d, _BWD_BYTES_BUDGET, n_tmp=n_tmp)
 
-    kernel = functools.partial(_bwd_kernel, scale=scale)
+    kernel = functools.partial(_bwd_kernel, scale=scale, dropout_rate=dropout_rate)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(bh // g, n_chunks),
@@ -243,6 +307,7 @@ def _bwd_call(q, k, v, mask, do, lse, delta, scale, kv_chunk, interpret):
             pl.BlockSpec((g, lq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, lq, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, lq, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((g, lq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -257,28 +322,30 @@ def _bwd_call(q, k, v, mask, do, lse, delta, scale, kv_chunk, interpret):
         scratch_shapes=[pltpu.VMEM((g, lq, d), jnp.float32)],
         interpret=interpret,
     )(q, k, v, mask, do, jnp.broadcast_to(lse, (bh, lq, 128)),
-      jnp.broadcast_to(delta, (bh, lq, 128)))
+      jnp.broadcast_to(delta, (bh, lq, 128)), seed)
     return dq, dk, dv
 
 
 # ------------------------------------------------------------------ public
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, mask, scale, kv_chunk, bwd_kv_chunk, interpret):
-    out, _ = _fwd_call(q, k, v, mask, scale, kv_chunk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, mask, seed, scale, kv_chunk, bwd_kv_chunk, interpret, dropout_rate):
+    out, _ = _fwd_call(q, k, v, mask, seed, scale, kv_chunk, interpret, dropout_rate)
     return out
 
 
-def _flash_fwd(q, k, v, mask, scale, kv_chunk, bwd_kv_chunk, interpret):
-    out, lse = _fwd_call(q, k, v, mask, scale, kv_chunk, interpret)
-    return out, (q, k, v, mask, out, lse)
+def _flash_fwd(q, k, v, mask, seed, scale, kv_chunk, bwd_kv_chunk, interpret, dropout_rate):
+    out, lse = _fwd_call(q, k, v, mask, seed, scale, kv_chunk, interpret, dropout_rate)
+    return out, (q, k, v, mask, seed, out, lse)
 
 
-def _flash_bwd(scale, kv_chunk, bwd_kv_chunk, interpret, residuals, g):
-    q, k, v, mask, out, lse = residuals
+def _flash_bwd(scale, kv_chunk, bwd_kv_chunk, interpret, dropout_rate, residuals, g):
+    q, k, v, mask, seed, out, lse = residuals
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)
-    dq, dk, dv = _bwd_call(q, k, v, mask, g, lse, delta, scale, bwd_kv_chunk, interpret)
-    return dq, dk, dv, None
+    dq, dk, dv = _bwd_call(
+        q, k, v, mask, g, lse, delta, seed, scale, bwd_kv_chunk, interpret, dropout_rate
+    )
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -295,11 +362,20 @@ def flash_cross_attention(
     kv_chunk: int = DEFAULT_KV_CHUNK,
     bwd_kv_chunk: Optional[int] = None,
     interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused flash cross-attention.
 
     Args:
         q: (b, h, lq, d); k, v: (b, h, lkv, d); kv_mask: optional (b, lkv) bool.
+        dropout_rate: drop probability on the normalised attention
+            probabilities (reference `healnet.py:421`); requires
+            ``dropout_rng`` (or an explicit ``dropout_seed``) when > 0.
+        dropout_seed: optional (1, 1) int32 — the raw coordinate-hash seed
+            (see :mod:`healnet_tpu.ops.hash_dropout`); parity tests use it to
+            reproduce the exact mask realisation outside the kernel.
 
     Returns:
         (b, lq, h * d) — merged heads, matching
@@ -307,6 +383,19 @@ def flash_cross_attention(
     """
     if interpret is None:
         interpret = not _on_tpu()
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0:
+        if dropout_seed is None:
+            if dropout_rng is None:
+                raise ValueError("dropout_rate > 0 requires dropout_rng or dropout_seed")
+            from healnet_tpu.ops.hash_dropout import seed_from_rng
+
+            dropout_seed = seed_from_rng(dropout_rng)
+        seed = jax.lax.bitcast_convert_type(
+            jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1), jnp.uint32
+        )
+    else:
+        seed = jnp.zeros((1, 1), jnp.uint32)
     b, h, lq, d = q.shape
     lkv = k.shape[2]
     eff_scale = float(scale) / float(temperature)
@@ -348,6 +437,6 @@ def flash_cross_attention(
             bwd_chunk = candidate
             break
 
-    out = _flash(qf, kf, vf, mask, eff_scale, chunk, bwd_chunk, interpret)
+    out = _flash(qf, kf, vf, mask, seed, eff_scale, chunk, bwd_chunk, interpret, dropout_rate)
     out = out.reshape(b, h, lq_p, d)[:, :, :lq, :]
     return out.transpose(0, 2, 1, 3).reshape(b, lq, h * d)

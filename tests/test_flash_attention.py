@@ -110,3 +110,149 @@ def test_module_flash_matches_xla(rng):
     attn_f = Attention(attention_impl="flash", **kwargs)
     out_f, _ = attn_f.apply(params, x, context=ctx)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=2e-5, atol=2e-5)
+
+
+# ------------------------------------------------------------------ dropout
+
+def _dense_hash_dropout_ref(q, k, v, mask, seed, rate, scale, temperature=0.5):
+    """XLA reference with the SAME coordinate-hash mask the kernel derives."""
+    from healnet_tpu.ops.attention import attention_scores
+    from healnet_tpu.ops.hash_dropout import dense_keep_mask
+
+    b, h, lq, d = q.shape
+    lkv = k.shape[2]
+    attn = attention_scores(q, k, scale, temperature=temperature, kv_mask=mask)
+    keep = dense_keep_mask(jnp.asarray(seed), b * h, lq, lkv, rate).reshape(
+        b, h, lq, lkv
+    )
+    attn = attn * keep / (1.0 - rate)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, h * d)
+
+
+def test_dropout_forward_and_grad_parity(rng):
+    """Flash dropout == dense attention with the identical hash keep-mask.
+
+    The keep decision is a pure function of (seed, row, q, kv) coordinates
+    (hash_dropout), so the dense XLA reference can reproduce the kernel's
+    exact realisation — this checks values AND the custom VJP, not just
+    statistics. Matches reference semantics `healnet.py:421` (dropout on
+    normalised probs).
+    """
+    from healnet_tpu.ops.hash_dropout import seed_from_rng
+
+    q, k, v = _qkv(rng, lq=17, lkv=384, d=63)
+    mask = jnp.asarray(rng.uniform(size=(2, 384)) > 0.3)
+    scale, rate = 63**-0.5, 0.3
+    seed = seed_from_rng(jax.random.PRNGKey(42))
+
+    def flash_loss(q, k, v):
+        out = flash_cross_attention(
+            q, k, v, scale=scale, temperature=0.5, kv_mask=mask,
+            dropout_rate=rate, dropout_seed=seed, kv_chunk=128,
+        )
+        return out, jnp.sum(jnp.sin(out))
+
+    def dense_loss(q, k, v):
+        out = _dense_hash_dropout_ref(q, k, v, mask, seed, rate, scale)
+        return out, jnp.sum(jnp.sin(out))
+
+    out_f = flash_loss(q, k, v)[0]
+    out_d = dense_loss(q, k, v)[0]
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d), rtol=2e-5, atol=2e-5)
+    # dropout must actually be active
+    out_nodrop = flash_cross_attention(
+        q, k, v, scale=scale, temperature=0.5, kv_mask=mask, kv_chunk=128
+    )
+    assert float(jnp.abs(out_f - out_nodrop).max()) > 1e-3
+
+    g_f = jax.grad(lambda *a: flash_loss(*a)[1], argnums=(0, 1, 2))(q, k, v)
+    g_d = jax.grad(lambda *a: dense_loss(*a)[1], argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_f, g_d, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"dropout grad mismatch for {name}",
+        )
+
+
+def test_dropout_chunk_and_grouping_invariance(rng):
+    """The mask realisation must not depend on the kernel schedule: different
+    KV chunk sizes (hence different batch groupings) agree to float tolerance
+    — the residual diff is only online-softmax accumulation order."""
+    from healnet_tpu.ops.hash_dropout import seed_from_rng
+
+    q, k, v = _qkv(rng, lq=16, lkv=512, d=32)
+    seed = seed_from_rng(jax.random.PRNGKey(3))
+    outs = [
+        flash_cross_attention(
+            q, k, v, scale=32**-0.5, temperature=0.5,
+            dropout_rate=0.25, dropout_seed=seed, kv_chunk=c,
+        )
+        for c in (128, 256, 512)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(outs[0]), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_dropout_statistics_unbiased(rng):
+    """Across seeds, the dropout estimator's mean converges to the
+    deterministic output (the keep/(1-rate) scaling is unbiased)."""
+    from healnet_tpu.ops.hash_dropout import seed_from_rng
+
+    q, k, v = _qkv(rng, b=4, h=2, lq=16, lkv=256, d=32)
+    rate = 0.4
+    base = flash_cross_attention(q, k, v, scale=32**-0.5, temperature=0.5)
+    acc = np.zeros(np.asarray(base).shape, np.float64)
+    n = 48
+    for i in range(n):
+        acc += np.asarray(
+            flash_cross_attention(
+                q, k, v, scale=32**-0.5, temperature=0.5,
+                dropout_rate=rate, dropout_seed=seed_from_rng(jax.random.PRNGKey(i)),
+            ),
+            dtype=np.float64,
+        )
+    mean = acc / n
+    base_np = np.asarray(base, np.float64)
+    # aggregate (not per-element) check: with n=48 seeds residual noise is
+    # ~1/sqrt(48) per element; mean |error| must sit well below |base|.
+    # A missing 1/(1-rate) rescale would bias every element by rate=40%,
+    # i.e. mean_err ≈ 0.4 * mean|base| — 8x this threshold.
+    # measured pure-noise residual at n=48: ~0.10x mean|base|; a missing
+    # rescale sits at 0.40x — threshold 0.15x separates both with margin
+    mean_err = np.abs(mean - base_np).mean()
+    assert mean_err < 0.15 * np.abs(base_np).mean(), mean_err
+
+
+def test_module_flash_dropout_trains(rng):
+    """Attention(attention_impl='flash') with dropout>0 runs non-deterministic
+    apply + grads (the tuned configs' training path, VERDICT r2 item 1)."""
+    from healnet_tpu.models.layers import Attention
+
+    x = jnp.asarray(rng.normal(size=(2, 17, 32)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(2, 300, 48)).astype(np.float32))
+    attn = Attention(
+        query_dim=32, context_dim=48, heads=2, dim_head=24, dropout=0.3,
+        attention_impl="flash",
+    )
+    params = attn.init(jax.random.PRNGKey(0), x, context=ctx)
+    out_det, _ = attn.apply(params, x, context=ctx, deterministic=True)
+
+    def loss(p, key):
+        out, _ = attn.apply(
+            p, x, context=ctx, deterministic=False, rngs={"dropout": key}
+        )
+        return jnp.sum(out**2)
+
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    l1, l2 = loss(params, k1), loss(params, k2)
+    assert float(jnp.abs(l1 - l2)) > 1e-6  # different rngs -> different drops
+    g = jax.grad(loss)(params, k1)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in flat)
+    assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+    # deterministic apply is unaffected by the dropout machinery
+    out_det2, _ = attn.apply(params, x, context=ctx, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_det), np.asarray(out_det2))
