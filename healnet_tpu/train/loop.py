@@ -38,8 +38,9 @@ from healnet_tpu.train.losses import (
     hazards_survival_risk,
     nll_loss,
 )
+from healnet_tpu.parallel.data import local_batch_rows
 from healnet_tpu.runtime import concordance_index_native as concordance_index_censored
-from healnet_tpu.train.schedule import make_optimizer
+from healnet_tpu.train.schedule import make_optimizer  # noqa: F401 (re-export)
 from healnet_tpu.utils.train_utils import EarlyStopping, l1_norm
 
 
@@ -137,7 +138,14 @@ class SurvivalTrainer:
         bucket_boundaries: Optional[Sequence[int]] = None,
         feature_arena: Optional[Any] = None,
         fused_epochs: bool = False,
+        arena_sharded: bool = False,
+        arena_halo: Optional[int] = None,
     ):
+        # arena_sharded (mesh mode only): shard the feature arena's rows over
+        # the mesh's `seq` axis instead of replicating it per chip — cohorts
+        # up to ~seq x one chip's HBM (parallel/arena.py). Bit-equal to the
+        # replicated gather. arena_halo must cover the widest gather window;
+        # defaults to max(bucket boundaries) or the longest bag.
         # fused_epochs (arena mode only): run each epoch as one jitted
         # lax.scan per bucket width instead of one dispatch per batch.
         # Arena batches are tiny (indices + labels), so a whole epoch's
@@ -204,11 +212,23 @@ class SurvivalTrainer:
             feature_arena = (feature_arena, None, None)
         self._arena_host = None if feature_arena is None else feature_arena[0]
         self._arena = None  # device-resident copy, placed lazily
+        self.arena_sharded = bool(arena_sharded) and mesh is not None
+        if arena_halo is None:
+            candidates = list(bucket_boundaries or [])
+            if feature_arena is not None and feature_arena[2] is not None:
+                candidates.append(int(np.max(feature_arena[2])))
+            arena_halo = max(candidates) if candidates else None
+        self.arena_halo = arena_halo
+        # fused epochs compose with SPMD: the stacked (steps, ...) scan axis
+        # stays unsharded (lax.scan slices it) and the INNER batch/token dims
+        # carry the data/seq shardings (batch_shardings(scan_axis=True)).
+        # Multi-process fused placement is not built; single-process meshes
+        # (the axon/ICI case) are fully supported.
         self.fused_epochs = bool(fused_epochs) and self._arena_host is not None
-        if self.fused_epochs and mesh is not None:
+        if self.fused_epochs and mesh is not None and jax.process_count() > 1:
             raise ValueError(
-                "fused_epochs stacks batches on a leading scan axis, which "
-                "conflicts with mesh batch sharding — use one or the other"
+                "fused_epochs + multi-process mesh is unsupported (the "
+                "stacked scan upload is single-host); use stepwise SPMD"
             )
         self._scan_train = None
         self._scan_eval = None
@@ -238,11 +258,26 @@ class SurvivalTrainer:
         return self
 
     def _device_arena(self):
-        """Upload the feature arena to HBM once (replicated under a mesh)."""
+        """Upload the feature arena to HBM once.
+
+        Replicated per chip by default; with ``arena_sharded`` the rows shard
+        over the mesh's ``seq`` axis (halo'd — see ``parallel/arena.py``) so
+        the cohort can exceed one chip's HBM.
+        """
         if self._arena_host is None:
             return None
         if self._arena is None:
-            if self.mesh is not None:
+            if self.mesh is not None and self.arena_sharded:
+                from healnet_tpu.parallel.arena import build_sharded_arena
+
+                assert self.arena_halo is not None, (
+                    "arena_sharded needs arena_halo (widest gather window); "
+                    "pass bucket_boundaries or the arena lengths"
+                )
+                self._arena = build_sharded_arena(
+                    np.asarray(self._arena_host), self.mesh, halo=self.arena_halo
+                )
+            elif self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 self._arena = jax.device_put(
@@ -300,6 +335,18 @@ class SurvivalTrainer:
 
         return global_batch_from_host_local(batch, self.mesh)
 
+    def _place_stacked(self, stacked):
+        """Fused-epoch stacks -> device(s): scan axis unsharded, inner batch
+        over ``data`` / tokens over ``seq`` (single-process meshes)."""
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jax.device_put, stacked)
+        from healnet_tpu.parallel.train import batch_shardings
+
+        shardings = batch_shardings(stacked, self.mesh, scan_axis=True)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), stacked, shardings
+        )
+
     def _reg_skip(self) -> bool:
         # reference gating (`train_utils.py:5-14`)
         if self.reg_topo == "fcnn":
@@ -353,8 +400,7 @@ class SurvivalTrainer:
         valid[:n_real] = 1.0
         return self._stack_batches(padded), valid, n_real
 
-    @staticmethod
-    def _gather_arena(arena, batch):
+    def _gather_arena(self, arena, batch):
         """On-device bag gather: arena rows -> (b, width, dim) slide tensor.
 
         ``width`` is static (the KV mask's trailing dim = the bucket
@@ -362,13 +408,21 @@ class SurvivalTrainer:
         arena's trailing zero-pad rows make every fixed-width window
         in-bounds, and out-of-bag rows are masked by the KV mask.
         """
+        from healnet_tpu.parallel.arena import ShardedArena, gather_sharded
+
         width = batch["kv_masks"][-1].shape[1]
-        dim = arena.shape[1]
 
-        def slice_one(off):
-            return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
+        if isinstance(arena, ShardedArena):
+            slide = gather_sharded(
+                arena, batch["patch_offsets"].astype(jnp.int32), width, self.mesh
+            )
+        else:
+            dim = arena.shape[1]
 
-        slide = jax.vmap(slice_one)(batch["patch_offsets"].astype(jnp.int32))
+            def slice_one(off):
+                return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
+
+            slide = jax.vmap(slice_one)(batch["patch_offsets"].astype(jnp.int32))
         # zero out-of-bag rows: a fixed-width window past a short bag reads
         # the NEXT slide's rows. Attention KV-masks them anyway, but models
         # that pool all tokens unmasked (MultiModN's PatchEncoder, MCAT's
@@ -412,10 +466,17 @@ class SurvivalTrainer:
         )
         return logits, 0.0
 
-    def _build_steps(self, total_steps: int):
-        self._opt = make_optimizer(
-            self.max_lr, total_steps, cycle_momentum=self.cycle_momentum
+    def _build_steps(self):
+        # horizon-free: the OneCycle schedules are evaluated from the
+        # progress fraction count/horizon inside the compiled step, with the
+        # horizon a TRACED scalar — fold-to-fold drift in bucket batch
+        # counts (hence total_steps) no longer re-traces anything
+        from healnet_tpu.train.schedule import (
+            make_progress_optimizer,
+            progress_hyperparams,
         )
+
+        self._opt = make_progress_optimizer(self.cycle_momentum)
         l1 = 0.0 if self._reg_skip() else self.l1
         gc = float(self.gc_compat)
 
@@ -432,7 +493,16 @@ class SurvivalTrainer:
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             return grads, aux
 
-        def train_step(params, opt_state, batch, rng, arena=None, cw=None):
+        def grad_stats(grads):
+            # wandb.watch parity (`main.py:135`): per-top-level-module and
+            # global gradient L2 norms, computed inside the compiled step
+            # (weight-sized reductions — negligible) and read back once per
+            # epoch by the tracker
+            stats = {k: optax.global_norm(grads[k]) for k in grads}
+            stats["global"] = optax.global_norm(grads)
+            return stats
+
+        def train_step(params, opt_state, batch, rng, arena=None, cw=None, horizon=None):
             if self.accum_steps == 1:
                 grads, (surv_loss, risk) = loss_and_grads(params, batch, rng, arena, cw)
             else:
@@ -467,9 +537,16 @@ class SurvivalTrainer:
                 surv_loss = loss_sum / a
                 risk = risks.reshape(-1)
 
+            gstats = grad_stats(grads)
+            opt_state = progress_hyperparams(
+                opt_state,
+                horizon if horizon is not None else jnp.float32(1.0),
+                self.max_lr,
+                cycle_momentum=self.cycle_momentum,
+            )
             updates, opt_state = self._opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, surv_loss, risk
+            return params, opt_state, surv_loss, risk, gstats
 
         def eval_step(params, batch, arena=None, cw=None):
             logits, model_loss = self._forward(
@@ -484,7 +561,7 @@ class SurvivalTrainer:
         # fused-epoch scans: one dispatch covers every step of a bucket.
         # Compiled once per (bucket width, steps) pair — bucket membership is
         # static (bag sizes don't change), so exactly one program per bucket.
-        def scan_train(params, opt_state, batches, rngs, valid, arena, cw):
+        def scan_train(params, opt_state, batches, rngs, valid, arena, cw, horizon):
             # `valid` marks real steps; the scan length is rounded up to a
             # quantum so every fold's bucket shares one compiled program —
             # padding steps are skipped entirely via lax.cond (no optimizer
@@ -494,22 +571,27 @@ class SurvivalTrainer:
                 b, k, v = xs
 
                 def real(_):
-                    p2, o2, loss, risk = train_step(p, o, b, k, arena, cw)
+                    p2, o2, loss, risk, gs = train_step(p, o, b, k, arena, cw, horizon)
                     # canonical f32 outputs: under bf16 compute the model's
                     # risk is bfloat16, and cond branches must type-match
-                    return p2, o2, loss.astype(jnp.float32), risk.astype(jnp.float32)
+                    return (
+                        p2, o2, loss.astype(jnp.float32),
+                        risk.astype(jnp.float32),
+                        {k2: s.astype(jnp.float32) for k2, s in gs.items()},
+                    )
 
                 def skip(_):
                     bs = b["sample_mask"].shape[0]
-                    return p, o, jnp.float32(0), jnp.zeros(bs, jnp.float32)
+                    zstats = {k2: jnp.float32(0) for k2 in list(p) + ["global"]}
+                    return p, o, jnp.float32(0), jnp.zeros(bs, jnp.float32), zstats
 
-                p, o, loss, risk = jax.lax.cond(v > 0, real, skip, None)
-                return (p, o), (loss, risk)
+                p, o, loss, risk, gs = jax.lax.cond(v > 0, real, skip, None)
+                return (p, o), (loss, risk, gs)
 
-            (params, opt_state), (losses, risks) = jax.lax.scan(
+            (params, opt_state), (losses, risks, gstats) = jax.lax.scan(
                 body, (params, opt_state), (batches, rngs, valid)
             )
-            return params, opt_state, losses, risks
+            return params, opt_state, losses, risks, gstats
 
         def scan_eval(params, batches, valid, arena, cw):
             def body(_, xs):
@@ -590,21 +672,13 @@ class SurvivalTrainer:
         else:
             steps_per_epoch = int(np.ceil(n_train / self.batch_size))
         total_steps = steps_per_epoch * self.epochs
-        # compiled steps depend on config + total_steps only (class weights
-        # are a traced argument) — k-fold runs reuse them across folds, so
-        # fold 2+ skips re-tracing the WSI-scale programs entirely
-        prev_total = getattr(self, "_built_total_steps", None)
-        if self._train_step is None or prev_total != total_steps:
-            if prev_total is not None and verbose:
-                # per-fold split sizes can shift a bucket's batch count; the
-                # OneCycle schedule must stay exact, so this re-traces (the
-                # amortization claim only holds while counts match)
-                print(
-                    f"rebuilding train steps: total_steps {prev_total} -> "
-                    f"{total_steps} (schedule horizon changed)"
-                )
-            self._build_steps(total_steps)
-            self._built_total_steps = total_steps
+        # the horizon is a TRACED argument of the compiled steps (schedule
+        # evaluated from count/horizon — schedule.progress_hyperparams), so
+        # per-fold drift in bucket batch counts never re-traces: k-fold runs
+        # compile each program exactly once
+        self._schedule_horizon = jnp.float32(total_steps)
+        if self._train_step is None:
+            self._build_steps()
         if self.params is None:
             self.init_params(train_data)
         if self.mesh is not None:
@@ -663,6 +737,7 @@ class SurvivalTrainer:
             rng = jax.random.fold_in(base_rng, epoch)
             np_rng = np.random.default_rng(self.seed + fold + 977 * epoch)
             losses, risks, cens, times, masks = [], [], [], [], []
+            last_gstats = None  # epoch-final gradient norms (wandb.watch parity)
             batches = iterate_batches(
                 train_data, self.batch_size, shuffle=True, rng=np_rng,
                 bucket_boundaries=self.bucket_boundaries,
@@ -685,13 +760,14 @@ class SurvivalTrainer:
                     stacked, valid, n_real = self._stack_for_scan(blist)
                     rng, sub = jax.random.split(rng)
                     keys = jax.random.split(sub, len(valid))
-                    self.params, self.opt_state, ls, rs = self._scan_train(
-                        self.params, self.opt_state, self._place(stacked),
+                    self.params, self.opt_state, ls, rs, gs = self._scan_train(
+                        self.params, self.opt_state, self._place_stacked(stacked),
                         keys, jnp.asarray(valid), self._device_arena(),
-                        self.class_weights,
+                        self.class_weights, self._schedule_horizon,
                     )
                     losses.extend(np.asarray(ls)[:n_real])
                     risks.extend(np.asarray(rs)[:n_real])  # (steps, b) rows
+                    last_gstats = {k: v[n_real - 1] for k, v in gs.items()}
                     for hb in blist:
                         cens.append(hb["censorship"])
                         times.append(hb["event_time"])
@@ -712,12 +788,17 @@ class SurvivalTrainer:
                 try:
                     for device_batch, meta in placed:
                         rng, step_rng = jax.random.split(rng)
-                        self.params, self.opt_state, loss, risk = self._train_step(
+                        (
+                            self.params, self.opt_state, loss, risk, last_gstats,
+                        ) = self._train_step(
                             self.params, self.opt_state, device_batch, step_rng,
                             self._device_arena(), self.class_weights,
+                            self._schedule_horizon,
                         )
                         losses.append(loss)
-                        risks.append(np.asarray(risk))
+                        # on a multi-process mesh only the local rows are
+                        # addressable — they match this host's local metadata
+                        risks.append(local_batch_rows(risk))
                         cens.append(meta["censorship"])
                         times.append(meta["event_time"])
                         masks.append(meta["sample_mask"])
@@ -773,6 +854,18 @@ class SurvivalTrainer:
                     },
                     step=epoch if fold == 1 else None,
                 )
+                # gradient/parameter observability (reference wandb.watch,
+                # `main.py:135`): epoch-final grad norms from the compiled
+                # step + per-module param norms — one host readback per epoch
+                self.tracker.watch(
+                    params=jax.device_get(self.params),
+                    grad_stats=(
+                        None
+                        if last_gstats is None
+                        else jax.device_get(last_gstats)
+                    ),
+                    prefix=f"fold_{fold}_",
+                )
             if ckpt is not None:
                 ckpt.save(
                     step=epoch,
@@ -820,7 +913,7 @@ class SurvivalTrainer:
         """
         assert missing_mode in (None, "50", "omic", "wsi")
         if self._eval_step is None:
-            self._build_steps(total_steps=1)
+            self._build_steps()
         losses, risks, cens, times, masks = [], [], [], [], []
         use_omic = True
         # buckets apply at eval too: c-index and the loss aggregation are
@@ -843,7 +936,7 @@ class SurvivalTrainer:
                 for blist in self._bucket_groups(all_batches).values():
                     stacked, valid, n_real = self._stack_for_scan(blist)
                     ls, rs = self._scan_eval(
-                        self.params, self._place(stacked),
+                        self.params, self._place_stacked(stacked),
                         jnp.asarray(valid), self._device_arena(),
                         self.class_weights,
                     )
@@ -879,7 +972,7 @@ class SurvivalTrainer:
                 self.class_weights,
             )
             losses.append(np.asarray(loss))
-            risks.append(np.asarray(risk))
+            risks.append(local_batch_rows(risk))
             cens.append(batch["censorship"])
             times.append(batch["event_time"])
             masks.append(batch["sample_mask"])

@@ -71,6 +71,88 @@ def onecycle_beta1(
     return schedule
 
 
+# --------------------------------------------------- horizon-free schedules
+#
+# The trainer's compiled step must not bake the schedule horizon into the
+# program: per-fold splits shift bucket batch counts by a few steps, which
+# would re-trace the WSI-scale programs every fold (VERDICT r2 item 4). The
+# closed-form schedules below take the *progress fraction* step/horizon —
+# the horizon rides through the jitted step as a traced scalar, so ONE
+# compiled program serves every fold. Past the horizon the final LR holds
+# (frac clips to 1).
+
+def onecycle_lr_at(
+    frac: jnp.ndarray,
+    max_lr: float,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+) -> jnp.ndarray:
+    """OneCycle LR as a function of progress fraction (continuous form).
+
+    Identical shape to :func:`onecycle_lr` / torch's OneCycleLR; the only
+    difference is sub-step boundary rounding (optax floors ``pct*T`` to an
+    int), i.e. an O(1/T) phase shift.
+    """
+    frac = jnp.clip(jnp.asarray(frac, jnp.float32), 0.0, 1.0)
+    init = max_lr / div_factor
+    final = init / final_div_factor
+    t1 = jnp.clip(frac / pct_start, 0.0, 1.0)
+    t2 = jnp.clip((frac - pct_start) / max(1.0 - pct_start, 1e-9), 0.0, 1.0)
+    up = init + (max_lr - init) * 0.5 * (1.0 - jnp.cos(jnp.pi * t1))
+    down = max_lr + (final - max_lr) * 0.5 * (1.0 - jnp.cos(jnp.pi * t2))
+    return jnp.where(frac < pct_start, up, down)
+
+
+def onecycle_beta1_at(
+    frac: jnp.ndarray,
+    pct_start: float = 0.3,
+    max_momentum: float = 0.95,
+    base_momentum: float = 0.85,
+) -> jnp.ndarray:
+    """torch OneCycle momentum cycling as a function of progress fraction."""
+    frac = jnp.clip(jnp.asarray(frac, jnp.float32), 0.0, 1.0)
+    t1 = jnp.clip(frac / pct_start, 0.0, 1.0)
+    t2 = jnp.clip((frac - pct_start) / max(1.0 - pct_start, 1e-9), 0.0, 1.0)
+    phase1 = max_momentum + (base_momentum - max_momentum) * 0.5 * (
+        1.0 - jnp.cos(jnp.pi * t1)
+    )
+    phase2 = base_momentum + (max_momentum - base_momentum) * 0.5 * (
+        1.0 - jnp.cos(jnp.pi * t2)
+    )
+    return jnp.where(frac < pct_start, phase1, phase2)
+
+
+def make_progress_optimizer(cycle_momentum: bool = True) -> optax.GradientTransformation:
+    """Adam whose LR (and beta1 when cycling) are written into the
+    ``inject_hyperparams`` state each step by :func:`progress_hyperparams` —
+    the returned transformation itself is horizon-free."""
+    b1 = 0.95 if cycle_momentum else 0.9
+    return optax.inject_hyperparams(optax.adam)(learning_rate=0.0, b1=b1)
+
+
+def progress_hyperparams(
+    opt_state,
+    horizon,
+    max_lr: float,
+    cycle_momentum: bool = True,
+    pct_start: float = 0.3,
+):
+    """Return ``opt_state`` with lr/b1 set for the step it is about to take.
+
+    ``opt_state.count`` (the inject wrapper's own step counter, restored with
+    checkpoints) supplies the step index; ``horizon`` is a traced scalar.
+    """
+    frac = opt_state.count.astype(jnp.float32) / jnp.maximum(
+        jnp.asarray(horizon, jnp.float32), 1.0
+    )
+    hyper = dict(opt_state.hyperparams)
+    hyper["learning_rate"] = onecycle_lr_at(frac, max_lr, pct_start=pct_start)
+    if cycle_momentum:
+        hyper["b1"] = onecycle_beta1_at(frac, pct_start=pct_start)
+    return opt_state._replace(hyperparams=hyper)
+
+
 def make_optimizer(
     max_lr: float,
     total_steps: int,

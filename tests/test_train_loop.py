@@ -267,15 +267,30 @@ def test_fused_epochs_single_bucket_matches_stepwise():
     )
 
 
-def test_fused_epochs_rejects_mesh():
-    import pytest as _pytest
+def test_fused_epochs_compose_with_mesh():
+    """fused_epochs + SPMD mesh (VERDICT r2 item 6, 'build or bury' — built):
+    the stacked scan axis stays unsharded while the inner batch shards over
+    `data`; with one bucket the trajectory matches the stepwise mesh path."""
     from healnet_tpu.parallel import make_mesh
 
-    with _pytest.raises(ValueError, match="fused_epochs"):
-        SurvivalTrainer(
-            _module(), feature_arena=np.zeros((4, 16), np.float32),
-            fused_epochs=True, mesh=make_mesh(1),
+    mesh = make_mesh(8)
+    n, width, dim = 16, 8, 16
+    data = _synthetic_survival(n=n, patches=width, patch_d=dim, seed=5)
+    arena_data, arena = _arena_form(data, width, dim)
+
+    def run(fused):
+        trainer = SurvivalTrainer(
+            _module(), batch_size=8, epochs=2, early_stopping=False,
+            gc_compat=1, seed=0, mesh=mesh, prefetch=0,
+            feature_arena=arena, fused_epochs=fused,
         )
+        return trainer.fit(arena_data, arena_data, verbose=False)
+
+    h_fused = run(True)["history"]
+    h_step = run(False)["history"]
+    for a, b in zip(h_fused, h_step):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-5)
 
 
 def test_resume_bit_equal_to_uninterrupted(tmp_path):
@@ -377,3 +392,164 @@ def test_fused_epochs_bf16_compute():
     res = tr.fit(arena_data, arena_data, verbose=False)
     assert np.isfinite(res["train_loss"])
     assert np.isfinite(res["val_loss"])
+
+
+def test_progress_schedule_matches_optax_trajectory():
+    """Closed-form fraction schedules == the optax/torch step schedules to
+    sub-step rounding (the horizon-free design must not change the LR/beta1
+    curves, only how the horizon enters the program)."""
+    import jax.numpy as jnp
+
+    from healnet_tpu.train.schedule import (
+        onecycle_beta1,
+        onecycle_beta1_at,
+        onecycle_lr_at,
+    )
+
+    T = 200
+    sched = onecycle_lr(max_lr=8e-3, total_steps=T)
+    b1_sched = onecycle_beta1(T)
+    for s in range(0, T + 1, 7):
+        lr_c = float(onecycle_lr_at(jnp.float32(s / T), 8e-3))
+        lr_o = float(sched(s))
+        assert abs(lr_c - lr_o) < 8e-3 * 0.02, (s, lr_c, lr_o)
+        b1_c = float(onecycle_beta1_at(jnp.float32(s / T)))
+        b1_o = float(b1_sched(s))
+        assert abs(b1_c - b1_o) < 0.005, (s, b1_c, b1_o)
+    # past-horizon steps hold the final LR (fused-epoch padding safety)
+    assert float(onecycle_lr_at(jnp.float32(1.5), 8e-3)) == float(
+        onecycle_lr_at(jnp.float32(1.0), 8e-3)
+    )
+
+
+def test_kfold_horizon_drift_never_retraces():
+    """Folds with different split sizes (hence different total_steps) reuse
+    ONE compiled train step — the schedule horizon is a traced argument, not
+    a baked constant (VERDICT r2 item 4)."""
+    trainer = SurvivalTrainer(
+        _module(),
+        loss_type="nll",
+        batch_size=8,
+        epochs=2,
+        max_lr=5e-3,
+        early_stopping=False,
+        gc_compat=1,
+        seed=0,
+    )
+    # deliberately uneven fold sizes: 48, 40, 56, 32, 44 samples
+    for i, n in enumerate([48, 40, 56, 32, 44]):
+        train = _synthetic_survival(n=n, seed=i)
+        val = _synthetic_survival(n=16, seed=100 + i)
+        res = trainer.fit(train, val, fold=i + 1, verbose=False)
+        assert np.isfinite(res["history"][-1]["train_loss"])
+    assert trainer._train_step._cache_size() == 1, (
+        f"horizon drift re-traced the train step "
+        f"({trainer._train_step._cache_size()} programs)"
+    )
+
+
+def test_horizon_free_trainer_matches_fixed_horizon_reference():
+    """The trainer's horizon-free optimizer reproduces a manual loop built on
+    the fixed-horizon optax optimizer (same data, same init) to tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from healnet_tpu.train.losses import hazards_survival_risk, nll_loss
+    from healnet_tpu.utils.train_utils import l1_norm
+
+    train = _synthetic_survival(n=32, seed=0)
+    val = _synthetic_survival(n=16, seed=1)
+    epochs, bs = 3, 8
+    trainer = SurvivalTrainer(
+        _module(), loss_type="nll", batch_size=bs, epochs=epochs,
+        max_lr=5e-3, early_stopping=False, gc_compat=1, seed=0, prefetch=0,
+    )
+    res = trainer.fit(train, val, verbose=False)
+
+    # manual reference: identical init/shuffle/dropout streams, fixed-horizon opt
+    module = _module()
+    ref = SurvivalTrainer(
+        _module(), loss_type="nll", batch_size=bs, epochs=epochs,
+        max_lr=5e-3, early_stopping=False, gc_compat=1, seed=0, prefetch=0,
+    )
+    ref.init_params(train)
+    params = ref.params
+    total_steps = int(np.ceil(32 / bs)) * epochs
+    opt = make_optimizer(5e-3, total_steps, cycle_momentum=True)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            logits = module.apply(
+                {"params": p}, batch["tensors"],
+                deterministic=False, rngs={"dropout": rng},
+            )
+            hz, S, risk = hazards_survival_risk(logits)
+            surv = nll_loss(
+                hz, S, batch["y_disc"], batch["censorship"],
+                sample_weights=batch["sample_mask"],
+            )
+            return surv, surv
+
+        (_, surv), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, surv
+
+    import jax.random as jrandom
+
+    base_rng = jrandom.PRNGKey(0 + 1000 * 1)
+    losses = []
+    for epoch in range(1, epochs + 1):
+        rng = jrandom.fold_in(base_rng, epoch)
+        np_rng = np.random.default_rng(0 + 1 + 977 * epoch)
+        for batch in iterate_batches(train, bs, shuffle=True, rng=np_rng):
+            dev = {
+                k: (tuple(jnp.asarray(t) for t in v) if k == "tensors" else jnp.asarray(v))
+                for k, v in batch.items()
+            }
+            rng, step_rng = jrandom.split(rng)
+            params, opt_state, surv = step(params, opt_state, dev, step_rng)
+            losses.append(float(surv))
+
+    # epoch-mean losses of the manual fixed-horizon loop track the trainer
+    per_epoch = np.asarray(losses).reshape(epochs, -1).mean(axis=1)
+    got = np.asarray([h["train_loss"] for h in res["history"]])
+    np.testing.assert_allclose(got, per_epoch, rtol=0.02, atol=5e-3)
+
+
+def test_tracker_watch_logs_grad_and_param_norms(tmp_path):
+    """wandb.watch parity (VERDICT r2 item 9): fitting with a tracker writes
+    per-module + global gradient/parameter norms into the metrics stream."""
+    import json
+
+    from healnet_tpu.utils.tracking import Tracker
+
+    train = _synthetic_survival(n=16, seed=0)
+    val = _synthetic_survival(n=8, seed=1)
+    tracker = Tracker(name="watch-test", log_dir=str(tmp_path))
+    trainer = SurvivalTrainer(
+        _module(), batch_size=8, epochs=2, early_stopping=False,
+        gc_compat=1, seed=0, tracker=tracker, prefetch=0,
+    )
+    trainer.fit(train, val, verbose=False)
+    tracker.finish()
+
+    records = [
+        json.loads(line)
+        for line in (tracker.log_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    keys = set().union(*(r.keys() for r in records))
+    assert "fold_1_grad_norm/global" in keys, sorted(keys)
+    assert "fold_1_param_norm/global" in keys
+    # per-top-level-module entries exist and are finite positive
+    module_keys = [k for k in keys if k.startswith("fold_1_grad_norm/") and not k.endswith("global")]
+    assert module_keys, sorted(keys)
+    for r in records:
+        for k, v in r.items():
+            if "grad_norm" in k or "param_norm" in k:
+                assert np.isfinite(v) and v >= 0, (k, v)
+    # the global grad norm is positive (training actually produced gradients)
+    gvals = [r["fold_1_grad_norm/global"] for r in records if "fold_1_grad_norm/global" in r]
+    assert max(gvals) > 0
