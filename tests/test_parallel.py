@@ -238,3 +238,103 @@ def test_trainer_arena_gather_on_mesh_matches_host_path():
     np.testing.assert_allclose(
         res_arena["val_c_index"], res_host["val_c_index"], rtol=1e-6
     )
+
+
+# ------------------------------------------------------------ sharded arena
+
+def test_sharded_arena_gather_bitequal():
+    """Row-sharded arena gather == the replicated dynamic_slice gather,
+    bit for bit (same rows sliced, one owner shard, psum adds zeros) —
+    VERDICT r2 item 3."""
+    from healnet_tpu.parallel.arena import build_sharded_arena, gather_sharded
+
+    mesh = make_mesh(8)  # seq axis size 2
+    rng = np.random.default_rng(0)
+    rows, dim, width = 101, 16, 24  # deliberately uneven: shard pad exercised
+    arena = rng.normal(size=(rows, dim)).astype(np.float32)
+    # windows may start anywhere a real bag could (trailing pad guarantee)
+    offsets = rng.integers(0, rows - width, size=8).astype(np.int32)
+
+    sharded = build_sharded_arena(arena, mesh, halo=width)
+    with mesh:
+        got = np.asarray(gather_sharded(sharded, jnp.asarray(offsets), width, mesh))
+
+    def ref_one(off):
+        return jax.lax.dynamic_slice(jnp.asarray(arena), (off, 0), (width, dim))
+
+    want = np.asarray(jax.vmap(ref_one)(jnp.asarray(offsets)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_arena_rejects_oversized_window():
+    from healnet_tpu.parallel.arena import build_sharded_arena, gather_sharded
+
+    mesh = make_mesh(8)
+    arena = np.zeros((64, 8), np.float32)
+    sharded = build_sharded_arena(arena, mesh, halo=16)
+    with pytest.raises(ValueError, match="halo"):
+        gather_sharded(sharded, jnp.zeros(4, jnp.int32), 32, mesh)
+
+
+def test_sharded_arena_trainer_matches_replicated():
+    """SurvivalTrainer(mesh, arena_sharded=True) trains bit-compatibly with
+    the replicated arena on the 8-dev mesh (loss histories + eval equal)."""
+    from healnet_tpu.train import SurvivalTrainer
+
+    mesh = make_mesh(8)
+    n, width, dim = 16, 8, 16
+    rng = np.random.default_rng(3)
+    tab = rng.normal(size=(n, 1, 32)).astype(np.float32)
+    wsi = rng.normal(size=(n, width, dim)).astype(np.float32)
+    event_time = np.exp(1.5 + tab[:, 0, 0]).astype(np.float32)
+    censorship = (rng.uniform(size=n) < 0.3).astype(np.float32)
+    qs = np.quantile(event_time, [0.25, 0.5, 0.75])
+    data = dict(
+        tensors=(tab,),
+        kv_masks=(None, np.ones((n, width), dtype=bool)),
+        patch_offsets=(np.arange(n) * width).astype(np.int32),
+        patch_lengths=np.full(n, width, dtype=np.int32),
+        y_disc=np.digitize(event_time, qs).astype(np.int32),
+        censorship=censorship,
+        event_time=event_time,
+    )
+    arena = np.concatenate(
+        [wsi.reshape(-1, dim), np.zeros((width, dim), np.float32)]
+    )
+
+    def run(arena_sharded):
+        trainer = SurvivalTrainer(
+            _module2mod(), batch_size=8, epochs=2, early_stopping=False,
+            gc_compat=1, seed=0, mesh=mesh, prefetch=0,
+            feature_arena=(arena, data["patch_offsets"], data["patch_lengths"]),
+            arena_sharded=arena_sharded, arena_halo=width,
+        )
+        res = trainer.fit(data, data, verbose=False)
+        return res, trainer.evaluate(data)
+
+    res_rep, ev_rep = run(False)
+    res_sh, ev_sh = run(True)
+    for h_r, h_s in zip(res_rep["history"], res_sh["history"]):
+        np.testing.assert_allclose(
+            h_s["train_loss"], h_r["train_loss"], rtol=1e-6, atol=1e-7
+        )
+    np.testing.assert_allclose(ev_sh[0], ev_rep[0], rtol=1e-6)
+    np.testing.assert_allclose(ev_sh[1], ev_rep[1], rtol=1e-6)
+
+
+def _module2mod():
+    # 2 modalities: omic + arena-gathered slide (width tokens of dim 16)
+    return HealNetModule(
+        n_modalities=2,
+        channel_dims=(32, 16),
+        num_spatial_axes=(1, 1),
+        out_dims=4,
+        depth=1,
+        l_c=8,
+        l_d=16,
+        x_heads=1,
+        l_heads=2,
+        cross_dim_head=8,
+        latent_dim_head=8,
+        self_per_cross_attn=0,
+    )
