@@ -36,3 +36,22 @@ def global_batch_from_host_local(batch: Dict[str, Any], mesh: Mesh):
         return jax.make_array_from_process_local_data(sharding, local, global_shape)
 
     return jax.tree_util.tree_map(assemble, batch, shardings)
+
+
+def local_batch_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in global order.
+
+    The inverse of :func:`global_batch_from_host_local` for step OUTPUTS
+    (per-sample risk scores): on a multi-process mesh ``np.asarray`` on a
+    non-fully-addressable array raises, but each process only needs the rows
+    matching its local batch metadata for the host-side c-index. Replicated
+    secondary mesh axes produce duplicate shards — dedupe by row start.
+    """
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    rows = {}
+    for shard in arr.addressable_shards:
+        start = shard.index[0].start or 0
+        if start not in rows:
+            rows[start] = np.asarray(shard.data)
+    return np.concatenate([rows[k] for k in sorted(rows)])
