@@ -33,7 +33,12 @@ from healnet_tpu.train.losses import survival_loss
 from healnet_tpu.utils.train_utils import l1_norm
 
 
-def batch_shardings(batch: Dict[str, Any], mesh: Mesh, batch_axis_factor: int = 1):
+def batch_shardings(
+    batch: Dict[str, Any],
+    mesh: Mesh,
+    batch_axis_factor: int = 1,
+    scan_axis: bool = False,
+):
     """Sharding pytree for a survival batch.
 
     Leading axis over ``data`` everywhere; for rank>=3 modality tensors the
@@ -44,17 +49,29 @@ def batch_shardings(batch: Dict[str, Any], mesh: Mesh, batch_axis_factor: int = 
     (local * process_count) — a local slice smaller than the data axis would
     otherwise silently drop the data spec while the assembled global batch
     divides fine.
+
+    ``scan_axis``: fused-epoch stacks carry an extra leading (steps, ...)
+    axis that stays UNSHARDED (lax.scan slices it); every rule shifts one
+    dimension right, so fused epochs and mesh sharding compose.
     """
     sizes = dict(mesh.shape)
+    off = 1 if scan_axis else 0
 
     def shard_leaf(leaf):
         ndim = np.ndim(leaf)       # no-copy introspection (device arrays stay put)
         shape = np.shape(leaf)
         spec = [None] * ndim
-        if ndim >= 1 and (shape[0] * batch_axis_factor) % sizes[AXIS_DATA] == 0:
-            spec[0] = AXIS_DATA
-        if ndim >= 3 and shape[1] % sizes[AXIS_SEQ] == 0 and shape[1] > 1:
-            spec[1] = AXIS_SEQ
+        b_dim, tok_dim = off, off + 1
+        if ndim >= b_dim + 1 and (
+            shape[b_dim] * batch_axis_factor
+        ) % sizes[AXIS_DATA] == 0:
+            spec[b_dim] = AXIS_DATA
+        if (
+            ndim >= tok_dim + 2
+            and shape[tok_dim] % sizes[AXIS_SEQ] == 0
+            and shape[tok_dim] > 1
+        ):
+            spec[tok_dim] = AXIS_SEQ
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map(shard_leaf, batch)
