@@ -73,14 +73,49 @@ class Tracker:
             f.write(json.dumps(record) + "\n")
         self.summary.update({k: _to_py(v) for k, v in metrics.items()})
 
-    def watch(self, *_args, **_kwargs) -> None:  # parity no-op (wandb.watch)
-        pass
+    def watch(
+        self,
+        params: Optional[Dict[str, Any]] = None,
+        grad_stats: Optional[Dict[str, Any]] = None,
+        step: Optional[int] = None,
+        prefix: str = "",
+    ) -> None:
+        """``wandb.watch`` parity (`/root/reference/healnet/main.py:135`):
+        log the global L2 norm and per-top-level-module L2 norms of the
+        parameters, plus gradient-norm stats computed inside the jitted step
+        (the trainer passes its per-epoch snapshot). JSONL/wandb either way.
+        """
+        metrics: Dict[str, Any] = {}
+        if params is not None:
+            total_sq = 0.0
+            for key in params:
+                sq = _tree_sq_norm(params[key])
+                metrics[f"{prefix}param_norm/{key}"] = float(sq) ** 0.5
+                total_sq += sq
+            metrics[f"{prefix}param_norm/global"] = float(total_sq) ** 0.5
+        if grad_stats:
+            for key, value in grad_stats.items():
+                metrics[f"{prefix}grad_norm/{key}"] = float(value)
+        if metrics:
+            self.log(metrics, step=step)
 
     def finish(self) -> None:
         if self.use_wandb:  # pragma: no cover
             _wandb.finish()
         with open(self.log_dir / "summary.json", "w") as f:
             json.dump(self.summary, f, indent=2, default=str)
+
+
+def _tree_sq_norm(tree: Any) -> float:
+    """Sum of squared entries over a nested dict/sequence of arrays."""
+    if isinstance(tree, dict):
+        return sum(_tree_sq_norm(v) for v in tree.values())
+    if isinstance(tree, (list, tuple)):
+        return sum(_tree_sq_norm(v) for v in tree)
+    import numpy as np
+
+    arr = np.asarray(tree, dtype=np.float64)
+    return float(np.vdot(arr, arr).real)
 
 
 def _to_py(value: Any) -> Any:
