@@ -11,7 +11,13 @@ production inference surface for the framework:
   the chain of `/root/reference/healnet/main.py:434-437`);
 - per-sample missing modalities via the same static presence masks as
   training (pass ``None`` for an absent modality, or a presence matrix);
-- optional bf16 compute for throughput (fp32 outputs).
+- optional bf16 compute for throughput (fp32 outputs);
+- WSI-scale serving: ragged patch bags (a list of per-sample ``(tokens_i,
+  d)`` arrays) are padded to length buckets — at most one compiled program
+  per bucket boundary, never one per observed length — with KV masks built
+  automatically; and arena mode serves from the training-time device-resident
+  feature arena (``patch_offsets``/``patch_lengths`` instead of feature
+  tensors: no per-request feature H2D at all).
 """
 
 from __future__ import annotations
@@ -35,6 +41,8 @@ class Predictor:
         params: Union[Dict, str, Path],
         batch_size: int = 8,
         compute_dtype: Any = None,
+        bucket_boundaries: Optional[Sequence[int]] = None,
+        feature_arena: Optional[np.ndarray] = None,
     ):
         """
         Args:
@@ -42,6 +50,14 @@ class Predictor:
             params: parameter pytree, or a checkpoint directory containing
                 a ``best`` checkpoint written by :class:`Checkpointer`.
             batch_size: compiled micro-batch; requests are padded/split.
+            bucket_boundaries: sorted token-length boundaries for ragged
+                patch bags (same values as ``train_loop.bucket_boundaries``);
+                each ragged sample pads to the smallest boundary >= its
+                length, so at most one program compiles per boundary.
+            feature_arena: the training-time packed feature arena — enables
+                arena-mode prediction (``patch_offsets``/``patch_lengths``
+                instead of the slide feature tensor; zero per-request feature
+                upload). Uploaded to HBM once.
         """
         self.module = module
         if isinstance(params, (str, Path)):
@@ -51,6 +67,12 @@ class Predictor:
         self.params = params
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
+        self.bucket_boundaries = (
+            sorted(int(b) for b in bucket_boundaries) if bucket_boundaries else None
+        )
+        self._arena = (
+            None if feature_arena is None else jax.device_put(feature_arena)
+        )
 
         def predict(params, tensors, presence, kv_masks):
             kwargs = {} if kv_masks is None else {"kv_masks": kv_masks}
@@ -67,6 +89,22 @@ class Predictor:
             }
 
         self._predict = jax.jit(predict)
+
+        def predict_arena(params, tensors, presence, kv_masks, arena, offsets):
+            # on-device bag gather, identical to the trainer's arena path
+            # (`train/loop.py` _gather_arena): width static per bucket
+            width = kv_masks[-1].shape[1]
+            dim = arena.shape[1]
+
+            def slice_one(off):
+                return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
+
+            slide = jax.vmap(slice_one)(offsets.astype(jnp.int32))
+            slide = slide * kv_masks[-1][..., None].astype(slide.dtype)
+            full = tuple(tensors) + (slide,)
+            return predict(params, full, presence, kv_masks)
+
+        self._predict_arena = jax.jit(predict_arena)
 
     def __call__(
         self,
@@ -94,7 +132,16 @@ class Predictor:
         )
         if n == 0:  # empty request: empty, well-shaped outputs
             zero = lambda *tail: np.zeros((0, *tail), np.float32)
-            nb = self.module.out_dims if hasattr(self.module, "out_dims") else 0
+            # modules name their class count differently: HealNet uses
+            # out_dims, MMPrognosis output_dims, MCAT/MOTCat n_classes
+            nb = next(
+                (
+                    int(getattr(self.module, attr))
+                    for attr in ("out_dims", "output_dims", "n_classes")
+                    if getattr(self.module, attr, None) is not None
+                ),
+                0,
+            )
             return {
                 "logits": zero(nb), "hazards": zero(nb),
                 "survival": zero(nb), "risk": zero(),
@@ -122,6 +169,138 @@ class Predictor:
             if kv_masks is None
             else [None if m is None else np.asarray(m, bool) for m in kv_masks]
         )
+        return self._microbatched(n, full, pres, masks, kv_masks is None)
+
+    # ---------------------------------------------------------- WSI serving
+    def _bucket_width(self, length: int) -> int:
+        """Smallest boundary >= length (overlong bags truncate to the cap);
+        128-lane-aligned free widths when no boundaries are configured."""
+        if self.bucket_boundaries:
+            for b in self.bucket_boundaries:
+                if length <= b:
+                    return b
+            return self.bucket_boundaries[-1]
+        return max(128, -(-int(length) // 128) * 128)
+
+    def predict_ragged(
+        self,
+        tensors: Sequence[Any],
+        presence: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Predict for ragged patch bags without caller-side padding.
+
+        ``tensors[-1]`` is a LIST of per-sample ``(tokens_i, d)`` arrays (or
+        ``None`` for a missing bag); earlier entries are stacked arrays as in
+        ``__call__``. Samples are grouped by bucket width (one compiled
+        program per boundary), padded, KV-masked, and results reassembled in
+        request order.
+        """
+        bags = list(tensors[-1])
+        n = len(bags)
+        lead = [np.asarray(t, np.float32) for t in tensors[:-1]]
+        pres = (
+            np.ones((n, len(tensors)), np.float32)
+            if presence is None
+            else np.asarray(presence, np.float32).copy()
+        )
+        dim = next(
+            (np.asarray(b).shape[-1] for b in bags if b is not None), None
+        )
+        assert dim is not None, "at least one sample must carry a patch bag"
+
+        groups: Dict[int, List[int]] = {}
+        for i, b in enumerate(bags):
+            width = self._bucket_width(0 if b is None else len(b))
+            groups.setdefault(width, []).append(i)
+
+        slot_outs: Dict[int, Dict[str, np.ndarray]] = {}
+        for width, idxs in groups.items():
+            m = len(idxs)
+            padded = np.zeros((m, width, dim), np.float32)
+            mask = np.zeros((m, width), bool)
+            grp_pres = pres[idxs].copy()
+            for j, i in enumerate(idxs):
+                if bags[i] is None:
+                    grp_pres[j, -1] = 0.0
+                    continue
+                bag = np.asarray(bags[i], np.float32)
+                ln = min(len(bag), width)
+                padded[j, :ln] = bag[:ln]
+                mask[j, :ln] = True
+            grp_tensors = [t[idxs] for t in lead] + [padded]
+            kv = [None] * len(lead) + [mask]
+            res = self._microbatched(m, grp_tensors, grp_pres, kv, False)
+            for j, i in enumerate(idxs):
+                slot_outs[i] = {k: v[j] for k, v in res.items()}
+        return {
+            k: np.stack([slot_outs[i][k] for i in range(n)])
+            for k in next(iter(slot_outs.values()))
+        }
+
+    def predict_from_arena(
+        self,
+        tensors: Sequence[Optional[np.ndarray]],
+        patch_offsets: np.ndarray,
+        patch_lengths: np.ndarray,
+        presence: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Arena-mode prediction: zero per-request feature upload.
+
+        ``tensors`` carries the non-slide modalities (as in training's arena
+        batches); each sample's bag is gathered ON DEVICE from the resident
+        feature arena by (offset, length). Requires ``feature_arena`` at
+        construction. One compiled program per bucket width.
+        """
+        assert self._arena is not None, "Predictor(feature_arena=...) required"
+        offsets = np.asarray(patch_offsets, np.int32)
+        lengths = np.asarray(patch_lengths, np.int32)
+        n = offsets.shape[0]
+        lead = [np.asarray(t, np.float32) for t in tensors]
+        n_mod = len(lead) + 1
+        pres = (
+            np.ones((n, n_mod), np.float32)
+            if presence is None
+            else np.asarray(presence, np.float32).copy()
+        )
+
+        groups: Dict[int, List[int]] = {}
+        for i, ln in enumerate(lengths):
+            groups.setdefault(self._bucket_width(int(ln)), []).append(i)
+
+        bs = self.batch_size
+        slot_outs: Dict[int, Dict[str, np.ndarray]] = {}
+        for width, idxs in groups.items():
+            for start in range(0, len(idxs), bs):
+                sel = idxs[start : start + bs]
+                m = len(sel)
+                pad = bs - m
+                rows = sel + [sel[-1]] * pad
+                mask = (
+                    np.arange(width)[None, :]
+                    < np.minimum(lengths[rows], width)[:, None]
+                )
+                cur = tuple(
+                    jnp.asarray(
+                        np.concatenate([t[sel], np.repeat(t[sel][-1:], pad, 0)])
+                        if pad
+                        else t[sel],
+                        self.compute_dtype or jnp.float32,
+                    )
+                    for t in lead
+                )
+                kv = tuple([None] * len(lead) + [jnp.asarray(mask)])
+                res = self._predict_arena(
+                    self.params, cur, jnp.asarray(pres[rows]), kv,
+                    self._arena, jnp.asarray(offsets[rows]),
+                )
+                for j, i in enumerate(sel):
+                    slot_outs[i] = {k: np.asarray(v)[j] for k, v in res.items()}
+        return {
+            k: np.stack([slot_outs[i][k] for i in range(n)])
+            for k in next(iter(slot_outs.values()))
+        }
+
+    def _microbatched(self, n, full, pres, masks, masks_absent):
         outs: List[Dict[str, np.ndarray]] = []
         bs = self.batch_size
         for start in range(0, n, bs):
@@ -142,7 +321,7 @@ class Predictor:
             batch_tensors = tuple(jnp.asarray(t, dtype) for t in cur)
             jm = (
                 None
-                if kv_masks is None
+                if masks_absent
                 else tuple(None if m is None else jnp.asarray(m) for m in cur_masks)
             )
             result = self._predict(

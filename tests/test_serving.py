@@ -111,3 +111,81 @@ def test_predictor_kv_masks_ragged_bags(module_and_params, rng):
     # unmasked padded inference is NOT equivalent (zero rows attended)
     unmasked = predictor([omic, wsi])
     assert not np.allclose(masked["risk"], unmasked["risk"], rtol=1e-4)
+
+
+def test_predict_ragged_buckets_and_matches_padded(module_and_params, rng):
+    """Ragged bags serve without caller padding: bucket-grouped, KV-masked,
+    reassembled in request order, == the manually-padded dense path
+    (VERDICT r2 item 8)."""
+    module, params = module_and_params
+    predictor = Predictor(
+        module, params, batch_size=4, bucket_boundaries=[8, 16]
+    )
+    n = 7
+    omic = rng.normal(size=(n, 1, 12)).astype(np.float32)
+    lengths = [3, 8, 12, 1, 16, 30, 5]  # 30 truncates to the 16 cap
+    bags = [rng.normal(size=(l, 6)).astype(np.float32) for l in lengths]
+    out = predictor.predict_ragged([omic, bags])
+    assert out["logits"].shape == (n, 4)
+
+    # reference: pad each sample to ITS bucket and call the dense path
+    for i, bag in enumerate(bags):
+        width = 8 if lengths[i] <= 8 else 16
+        ln = min(lengths[i], width)
+        padded = np.zeros((1, width, 6), np.float32)
+        padded[0, :ln] = bag[:ln]
+        mask = np.zeros((1, width), bool)
+        mask[0, :ln] = True
+        ref = predictor(
+            [omic[i : i + 1], padded], kv_masks=[None, mask]
+        )
+        np.testing.assert_allclose(
+            out["logits"][i], ref["logits"][0], rtol=1e-5, atol=1e-6,
+            err_msg=f"sample {i} (len {lengths[i]})",
+        )
+
+    # at most one compiled program per bucket width actually used
+    assert predictor._predict._cache_size() <= 2
+
+
+def test_predict_ragged_missing_bag(module_and_params, rng):
+    module, params = module_and_params
+    predictor = Predictor(module, params, batch_size=2, bucket_boundaries=[8])
+    omic = rng.normal(size=(3, 1, 12)).astype(np.float32)
+    bags = [rng.normal(size=(4, 6)).astype(np.float32), None,
+            rng.normal(size=(8, 6)).astype(np.float32)]
+    out = predictor.predict_ragged([omic, bags])
+    assert out["risk"].shape == (3,)
+    assert np.isfinite(out["logits"]).all()
+    # the missing-bag sample must match an explicit missing-modality call
+    ref = predictor([omic[1:2], None])
+    np.testing.assert_allclose(out["logits"][1], ref["logits"][0], rtol=1e-5)
+
+
+def test_predict_from_arena_matches_dense(module_and_params, rng):
+    """Arena-mode serving (zero per-request feature H2D) == dense serving on
+    the same bags, including ragged lengths across buckets."""
+    module, params = module_and_params
+    n, dim = 6, 6
+    lengths = np.asarray([3, 8, 5, 16, 2, 11], np.int32)
+    offsets = np.zeros(n, np.int32)
+    cursor = 0
+    rows = []
+    for i, l in enumerate(lengths):
+        offsets[i] = cursor
+        rows.append(rng.normal(size=(l, dim)).astype(np.float32))
+        cursor += l
+    arena = np.concatenate(rows + [np.zeros((16, dim), np.float32)])
+    omic = rng.normal(size=(n, 1, 12)).astype(np.float32)
+
+    predictor = Predictor(
+        module, params, batch_size=4, bucket_boundaries=[8, 16],
+        feature_arena=arena,
+    )
+    out = predictor.predict_from_arena([omic], offsets, lengths)
+    assert out["logits"].shape == (n, 4)
+
+    bags = [arena[o : o + l] for o, l in zip(offsets, lengths)]
+    ref = predictor.predict_ragged([omic, bags])
+    np.testing.assert_allclose(out["logits"], ref["logits"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out["risk"], ref["risk"], rtol=1e-5, atol=1e-6)
