@@ -52,10 +52,22 @@ def main() -> None:
         rng.lognormal(mean=np.log(2800), sigma=0.55, size=n), BAG_MIN, BAG_MAX
     ).astype(int)
 
+    import h5py
+
     t0 = time.time()
     total_bytes = 0
     for i, (sid, bag) in enumerate(zip(sids, bag_sizes)):
-        (patches / f"{sid}.h5").touch()
+        # real CLAM-schema coords (the explainer's heatmap/crop source):
+        # a row-major tissue grid of 256px level-0 patches, with the
+        # patch_size/patch_level attrs create_patches_fp.py writes
+        ncols = max(1, int(np.ceil(np.sqrt(float(bag)))))
+        idx = np.arange(int(bag))
+        coords = np.stack([idx % ncols, idx // ncols], axis=1).astype(np.int64) * 256
+        with h5py.File(patches / f"{sid}.h5", "w") as f:
+            dset = f.create_dataset("coords", data=coords)
+            dset.attrs["patch_size"] = 256
+            dset.attrs["patch_level"] = 0
+            dset.attrs["downsample"] = [1.0, 1.0]
         feats = rng.standard_normal((int(bag), PATCH_DIM), dtype=np.float32)
         # a sprinkle of "tumor patches" whose first channels encode risk
         n_tumor = max(1, int(bag) // 20)
