@@ -261,19 +261,23 @@ class Attention(nn.Module):
                 on_tpu = False
             if not on_tpu:
                 return False
-            # Measured on v5e (fwd+bwd, fp32): for tiny latent arrays
-            # (lq << dim_head) XLA's einsum attention already sits at the HBM
-            # roofline and flash only adds overhead; once the weight matrix is
-            # comparable to the KV stream (lq >= dim_head) at long contexts,
-            # flash wins 1.4-2.8x by never materialising the (lq x lkv)
-            # weights. Also engage whenever the weights would threaten HBM.
-            # With dropout on, the XLA path additionally materialises the
-            # bernoulli keep mask in HBM while flash hashes it in-register —
-            # flash breaks even earlier (measured: ~1.1-1.3x at lq>=32).
+            # Measured on v5e (fwd+bwd; table in BENCH_NOTES.md "Flash
+            # cross-attention kernel"): for small latent arrays XLA's einsum
+            # attention sits at the HBM roofline and flash only adds
+            # overhead; flash wins once the (lq x lkv) weight matrix it never
+            # materialises dominates the KV stream — measured from
+            # lq >= 2*dim_head at long contexts (1.4-3.0x fp32, 1.3x bf16).
+            # With dropout on, BOTH paths hash the keep mask in-register
+            # (hash_dropout; no bernoulli tensor in HBM on either side), and
+            # the measured break-even does NOT move in flash's favour: the
+            # hash-XLA path won every measured dropout cell up to lq=256
+            # (0.32-0.97x flash speedup), so dropout earns no relaxation.
+            # Always engage when the weights would threaten HBM itself.
             weights_bytes = b * self.heads * lq * lkv * 4
             big_weights = weights_bytes > 2 * 1024**3
-            lq_floor = self.dim_head if dropout_rate == 0.0 else min(self.dim_head, 32)
-            flash_regime = lq >= lq_floor and lkv >= 8192
+            flash_regime = (
+                dropout_rate == 0.0 and lq >= 2 * self.dim_head and lkv >= 8192
+            )
             return flash_regime or big_weights
         return False
 

@@ -84,7 +84,20 @@ def multihead_attention(
         attn = attn * valid
     weights = attn if return_weights else None
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        # Coordinate-hash keep mask (hash_dropout), NOT jax.random.bernoulli:
+        # the mask is a pure function of (seed, absolute coordinates), so this
+        # path, the Pallas flash kernel, and the sequence-parallel shard all
+        # realise BIT-IDENTICAL dropout from the same rng — `attention_impl`
+        # can never change a training trajectory. It is also cheaper: ~10 VPU
+        # integer ops per element fused into the softmax pipeline vs a
+        # threefry-2x32 bernoulli tensor.
+        from healnet_tpu.ops.hash_dropout import dense_keep_mask, seed_from_rng
+
+        b, h, lq, lkv = attn.shape
+        seed = seed_from_rng(dropout_rng)
+        keep = dense_keep_mask(seed, b * h, lq, lkv, dropout_rate).reshape(
+            b, h, lq, lkv
+        )
         attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhij,bhjd->bhid", attn, v)
     b, h, lq, d = out.shape

@@ -33,7 +33,10 @@ def timed(fn, *args):
     @jax.jit
     def loop(n, *a):
         def body(i, acc):
-            out = fn(*a)
+            # Thread the carry into the first operand so XLA cannot hoist the
+            # attention call out of the loop (acc*1e-30 is not foldable).
+            q = a[0] + (acc * 1e-30).astype(a[0].dtype)
+            out = fn(q, *a[1:])
             return acc + jnp.sum(out).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))

@@ -97,6 +97,36 @@ def test_bf16_inputs(rng):
     )
 
 
+def test_auto_dispatch_calibration(monkeypatch):
+    """Pin the measured v5e break-evens the `auto` heuristic encodes
+    (BENCH_NOTES.md): XLA for tuned-config latents, flash only from
+    lq >= 2*dim_head without dropout (the hash-XLA dropout path won every
+    measured dropout cell), and always when the weights would threaten HBM."""
+    from healnet_tpu.models.layers import Attention
+
+    class _FakeTpu:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_FakeTpu()])
+    attn = Attention(
+        query_dim=126, context_dim=2048, heads=1, dim_head=63,
+        attention_impl="auto",
+    )
+    # tuned configs (17-32 latents) stay on the roofline XLA path
+    assert not attn._should_use_flash(False, 0.083, 8, 17, 65536)
+    assert not attn._should_use_flash(False, 0.0, 8, 32, 65536)
+    # dropout earns no relaxation
+    assert not attn._should_use_flash(False, 0.083, 8, 126, 65536)
+    # no-dropout win regime
+    assert attn._should_use_flash(False, 0.0, 8, 126, 65536)
+    # short contexts never engage flash
+    assert not attn._should_use_flash(False, 0.0, 8, 126, 4096)
+    # weight inspection forces the materialised path
+    assert not attn._should_use_flash(True, 0.0, 8, 126, 65536)
+    # weights past the HBM threat threshold always stream through flash
+    assert attn._should_use_flash(False, 0.083, 64, 512, 65536)
+
+
 def test_module_flash_matches_xla(rng):
     """Attention module with attention_impl='flash' == 'xla' end to end."""
     from healnet_tpu.models.layers import Attention
@@ -173,6 +203,32 @@ def test_dropout_forward_and_grad_parity(rng):
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
             err_msg=f"dropout grad mismatch for {name}",
         )
+
+
+def test_dropout_xla_path_bit_identical_to_flash(rng):
+    """`multihead_attention` and the flash kernel realise the SAME dropout
+    mask from the same rng (both route through hash_dropout, seeded by
+    `seed_from_rng`), so `attention_impl` can never change a training
+    trajectory — only floating-point accumulation order."""
+    from healnet_tpu.ops.attention import multihead_attention
+    from healnet_tpu.ops.hash_dropout import seed_from_rng
+
+    q, k, v = _qkv(rng, lq=17, lkv=384, d=63)
+    mask = jnp.asarray(rng.uniform(size=(2, 384)) > 0.3)
+    scale, rate = 63**-0.5, 0.3
+    drop_rng = jax.random.PRNGKey(11)
+
+    out_x, _ = multihead_attention(
+        q, k, v, scale=scale, temperature=0.5, kv_mask=mask,
+        dropout_rng=drop_rng, dropout_rate=rate,
+    )
+    out_f = flash_cross_attention(
+        q, k, v, scale=scale, temperature=0.5, kv_mask=mask,
+        dropout_rate=rate, dropout_seed=seed_from_rng(drop_rng), kv_chunk=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_x), rtol=2e-5, atol=2e-5
+    )
 
 
 def test_dropout_chunk_and_grouping_invariance(rng):
