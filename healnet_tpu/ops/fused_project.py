@@ -1,0 +1,365 @@
+"""Fused merged-KV projection + LayerNorm statistics (TPU Pallas).
+
+The HealNet forward projects every fusion layer's KV from the raw context in
+ONE merged matmul with the per-layer context-LayerNorm affines folded into
+the weights (`models/healnet.py` kv_cache; the algebra is
+
+    x_hat @ W = (1/sigma) (ctx @ W_c + enc @ W_e - mu * colsum(W)) + beta @ W
+
+so normalization applies on the tiny projection output, never on the
+2k-channel context). At WSI scale the context (b x tokens x 2048, ~134 MB
+bf16) dominates step HBM traffic, so whether the statistics reductions cost
+a second full read of the context is the difference between ~1 and ~2
+context-passes in the forward.
+
+This kernel computes the row statistics AND the matmul from a single pass
+over each context block held in VMEM, applies the folded normalization on
+the (tokens x F) projection output in-register, and writes only the tiny KV
+result — the context is read exactly once in the whole forward.
+
+**Measured outcome (v5e, flagship shape, fair harness): graph-dependent.**
+For the bare dot+stats subgraph XLA's fusion machinery already emits both at
+one-context-read speed (0.193 ms vs a 0.178 ms bare read) and the kernel
+loses (0.261 ms). But in the REAL graph — where the folded normalization
+consumes the dot output and both reductions, and per-layer slices consume
+the result — XLA falls back to a separate statistics pass and the kernel
+wins 1.43x forward / 1.10x fwd+bwd (0.258 vs 0.368 ms fwd). ``auto``
+therefore engages the kernel on TPU for HBM-bound contexts; its one-read
+schedule is guaranteed by construction while XLA's depends on fusion
+heuristics that break under composition. Beware harnesses that perturb the
+context inside a timing loop: that elementwise pass fuses into XLA
+consumers but cannot be absorbed by a pallas_call, biasing ~2 extra
+context-passes against the kernel. Details: BENCH_NOTES.md "Fused KV
+projection".
+
+Backward needs no extra context state: parameter gradients are
+
+    d_raw   = inv * g                      (g = d_kv)
+    d_W_c   = ctx^T @ d_raw                (the one context read of the bwd)
+    d_W_e   = enc^T @ sum_b d_raw
+    d_colsum= -sum_{b,t} mu * inv * g      -> added to every row of d_W
+    d_bias  = sum_{b,t} g
+
+with (mu, inv) recovered from the saved per-row sums — so the residuals are
+two (b, tokens) f32 vectors instead of a (b, tokens, F) raw tensor. Input
+cotangents (d_ctx / d_enc, which need the pre-normalization projection P)
+are expressed as standalone expressions so XLA dead-code-eliminates their
+extra context read in parameter-only training.
+
+Numerics match the XLA path: the dot accumulates f32 on the MXU and is
+rounded to the context dtype before the enc addition (exactly what
+``ctx @ w.astype(bf16) + enc @ w_e.astype(bf16)`` produces), and the
+statistics are f32 sums of the low-precision context values.
+
+Falls back to interpret mode off-TPU so CPU tests exercise identical code.
+
+Reference behaviour being accelerated: the per-layer
+``PreNorm(ctx) -> to_kv`` chain of `/root/reference/healnet/models/
+healnet.py:306-321,378-379`, restructured as one fused pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEF_TILE = 512
+
+# auto engages the kernel only for contexts big enough to be HBM-bound
+# (b * tokens * channels elements); the omic modality (1 token) never
+# qualifies, WSI bags always do.
+_MIN_ELEMENTS = 1 << 22
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (the exact pre-existing model path)
+# ---------------------------------------------------------------------------
+
+
+def _xla_project(
+    dat: jnp.ndarray,
+    enc: Optional[jnp.ndarray],
+    w_all: jnp.ndarray,
+    b_all: jnp.ndarray,
+    eps: float,
+) -> jnp.ndarray:
+    """Two-pass XLA path: fused stats read + matmul read."""
+    c_dim = dat.shape[-1]
+    w_c, w_e = w_all[:c_dim], w_all[c_dim:]
+    colsum = jnp.sum(w_all, axis=0)
+    d_total = w_all.shape[0]
+
+    xf = dat.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=-1)
+    s2 = jnp.sum(jnp.square(xf), axis=-1)
+    if enc is not None:
+        ef = enc.astype(jnp.float32)
+        s1 = s1 + jnp.sum(ef, axis=-1)
+        s2 = s2 + jnp.sum(jnp.square(ef), axis=-1)
+    mu = s1 / d_total
+    var = s2 / d_total - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+
+    raw = dat @ w_c.astype(dat.dtype)
+    if enc is not None:
+        raw = raw + enc.astype(dat.dtype) @ w_e.astype(dat.dtype)
+    return (
+        inv[..., None] * (raw.astype(jnp.float32) - mu[..., None] * colsum) + b_all
+    ).astype(dat.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: one context read for matmul + statistics + normalization
+# ---------------------------------------------------------------------------
+
+
+def _kernel(d_total, eps, dat_ref, w_ref, encp_ref, encs_ref, aux_ref,
+            kv_ref, s1_ref, s2_ref):
+    """One (1, tile, C) context block -> (1, tile, F_pad) normalized KV.
+
+    aux_ref rows: 0 = colsum(W), 1 = folded bias.
+    encs_ref rows: 0 = enc row-sums, 1 = enc row-sum-squares (zeros if the
+    modality has no positional encoding).
+    """
+    x = dat_ref[0]                                    # (tile, C) ctx dtype
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=1) + encs_ref[0]            # (tile,)
+    s2 = jnp.sum(xf * xf, axis=1) + encs_ref[1]
+
+    acc = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    # replicate the XLA path's rounding: bf16 matmul output + bf16 enc add
+    low = acc.astype(x.dtype) + encp_ref[:]
+    raw = low.astype(jnp.float32)                     # (tile, F_pad)
+
+    mu = s1 / d_total
+    var = s2 / d_total - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    kv = inv[:, None] * (raw - mu[:, None] * aux_ref[0]) + aux_ref[1]
+
+    kv_ref[0] = kv.astype(kv_ref.dtype)
+    # stats outputs are (b, t, 1): a trailing singleton lane keeps the block
+    # shape (1, tile, 1) legal on TPU (tile in the sublane dim)
+    s1_ref[0, :, 0] = s1
+    s2_ref[0, :, 0] = s2
+
+
+def _pallas_call(dat, w_pad, enc_proj, enc_stats, aux, d_total, eps,
+                 tile, interpret):
+    b, t, c = dat.shape
+    f_pad = w_pad.shape[1]
+    tiles = pl.cdiv(t, tile)
+    kernel = functools.partial(_kernel, float(d_total), eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, f_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, f_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, f_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, f_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, f_pad), dat.dtype),
+            jax.ShapeDtypeStruct((b, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * c * f_pad,
+            bytes_accessed=dat.size * dat.dtype.itemsize
+            + b * t * f_pad * dat.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dat, w_pad, enc_proj, enc_stats, aux)
+
+
+def _prep(dat, enc, w_all, b_all, tile):
+    """Host-side (traced) prep: pad F, precompute tiny enc projection/stats."""
+    b, t, c = dat.shape
+    f = w_all.shape[1]
+    f_pad = _round_up(f, 128)
+    w_c = w_all[:c]
+    w_pad = jnp.zeros((c, f_pad), dat.dtype).at[:, :f].set(w_c.astype(dat.dtype))
+    colsum = jnp.sum(w_all, axis=0)
+    aux = jnp.zeros((2, f_pad), jnp.float32)
+    aux = aux.at[0, :f].set(colsum).at[1, :f].set(b_all)
+
+    if enc is not None:
+        w_e = w_all[c:]
+        ep = enc.astype(dat.dtype) @ w_e.astype(dat.dtype)     # (t, F)
+        enc_proj = jnp.zeros((t, f_pad), dat.dtype).at[:, :f].set(ep)
+        ef = enc.astype(jnp.float32)
+        enc_stats = jnp.stack(
+            [jnp.sum(ef, axis=-1), jnp.sum(jnp.square(ef), axis=-1)]
+        )                                                      # (2, t)
+    else:
+        enc_proj = jnp.zeros((t, f_pad), dat.dtype)
+        enc_stats = jnp.zeros((2, t), jnp.float32)
+    return w_pad, enc_proj, enc_stats, aux, f, f_pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_project(cfg, dat, enc, w_all, b_all):
+    kv, _, _ = _pallas_forward(cfg, dat, enc, w_all, b_all)
+    return kv
+
+
+def _pallas_forward(cfg, dat, enc, w_all, b_all):
+    eps, tile, interpret = cfg
+    w_pad, enc_proj, enc_stats, aux, f, _ = _prep(dat, enc, w_all, b_all, tile)
+    d_total = w_all.shape[0]
+    kv_pad, s1, s2 = _pallas_call(
+        dat, w_pad, enc_proj, enc_stats, aux, d_total, eps, tile, interpret
+    )
+    return kv_pad[..., :f], s1[..., 0], s2[..., 0]
+
+
+def _pallas_fwd(cfg, dat, enc, w_all, b_all):
+    kv, s1, s2 = _pallas_forward(cfg, dat, enc, w_all, b_all)
+    return kv, (dat, enc, w_all, b_all, s1, s2)
+
+
+def _pallas_bwd(cfg, res, g):
+    eps, _, _ = cfg
+    dat, enc, w_all, b_all, s1, s2 = res
+    c = dat.shape[-1]
+    d_total = w_all.shape[0]
+    colsum = jnp.sum(w_all, axis=0)
+
+    mu = s1 / d_total                                          # (b, t)
+    var = s2 / d_total - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+
+    gf = g.astype(jnp.float32)
+    d_bias = jnp.sum(gf, axis=(0, 1))
+    d_raw = (inv[..., None] * gf).astype(dat.dtype)            # (b, t, F)
+    d_wc = jnp.einsum(
+        "btc,btf->cf", dat, d_raw, preferred_element_type=jnp.float32
+    )
+    d_colsum = -jnp.sum((inv * mu)[..., None] * gf, axis=(0, 1))
+    d_w = jnp.zeros_like(w_all).at[:c].set(d_wc) + d_colsum[None, :]
+    if enc is not None:
+        d_raw_t = jnp.sum(d_raw.astype(jnp.float32), axis=0)   # (t, F)
+        d_we = jnp.einsum(
+            "te,tf->ef", enc.astype(jnp.float32), d_raw_t,
+            preferred_element_type=jnp.float32,
+        )
+        d_w = d_w.at[c:].add(d_we)
+
+    # ---- input cotangents: standalone so XLA DCEs the extra context read
+    # whenever the context does not require gradients (the training case).
+    w_c = w_all[:c]
+    raw = (dat @ w_c.astype(dat.dtype)).astype(jnp.float32)
+    if enc is not None:
+        raw = raw + (enc.astype(dat.dtype) @ w_all[c:].astype(dat.dtype)).astype(
+            jnp.float32
+        )
+    p_term = raw - mu[..., None] * colsum                      # P
+    d_inv = jnp.sum(gf * p_term, axis=-1)                      # (b, t)
+    d_p = inv[..., None] * gf
+    d_mu = -jnp.sum(d_p * colsum, axis=-1)
+    d_var = d_inv * (-0.5) * inv * inv * inv
+    d_s2 = d_var / d_total
+    d_mu = d_mu - 2.0 * mu * d_var
+    d_s1 = d_mu / d_total
+    d_dat = (
+        (d_p @ w_c.T.astype(jnp.float32))
+        + d_s1[..., None]
+        + 2.0 * dat.astype(jnp.float32) * d_s2[..., None]
+    ).astype(dat.dtype)
+    if enc is not None:
+        d_enc = (
+            jnp.sum(d_p, axis=0) @ w_all[c:].T.astype(jnp.float32)
+            + jnp.sum(d_s1, axis=0)[..., None]
+            + 2.0 * enc.astype(jnp.float32) * jnp.sum(d_s2, axis=0)[..., None]
+        ).astype(enc.dtype)
+    else:
+        d_enc = None
+    return d_dat, d_enc, d_w.astype(w_all.dtype), d_bias.astype(b_all.dtype)
+
+
+_pallas_project.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def fused_kv_project(
+    dat: jnp.ndarray,
+    enc: Optional[jnp.ndarray],
+    w_all: jnp.ndarray,
+    b_all: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    impl: str = "auto",
+    tile: int = _DEF_TILE,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Merged folded-KV projection of a raw context.
+
+    dat: (b, tokens, C) raw context; enc: optional (tokens, E) positional
+    encoding shared across the batch; w_all: (C+E, F) f32 folded projection
+    weights (all layer groups concatenated); b_all: (F,) folded biases.
+    Returns (b, tokens, F) in ``dat.dtype``.
+
+    impl: 'xla', 'pallas', or 'auto' (pallas on TPU for HBM-bound contexts,
+    xla otherwise — and always under a mesh, where pallas_call cannot be
+    GSPMD-partitioned; the model handles that fallback).
+
+    Measured on v5e at the flagship shape (8 x 4096 x 2048 bf16,
+    scripts/bench_fused_project.py): for the FULL op — projection + folded
+    normalization + per-layer slicing — the kernel wins 1.43x forward
+    (0.258 vs 0.368 ms) and 1.10x fwd+bwd, because XLA schedules a separate
+    statistics pass once the normalization consumes both the dot output and
+    the reductions. For the bare dot+stats subgraph XLA's own fusion already
+    runs at one-read speed (0.193 ms) and the kernel loses — the win exists
+    only in the real model graph. Details: BENCH_NOTES.md "Fused KV
+    projection".
+    """
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown fused projection impl: {impl!r}")
+    if impl == "auto":
+        impl = "pallas" if (_on_tpu() and dat.size >= _MIN_ELEMENTS) else "xla"
+    if impl != "pallas":
+        return _xla_project(dat, enc, w_all, b_all, eps)
+    if interpret is None:
+        interpret = not _on_tpu()
+    t = dat.shape[1]
+    # TPU block rules: the token tile is the sublane dim of the context block
+    # and the lane dim of the enc-stats block — either a multiple of 128 or
+    # the full token count.
+    tile = t if t <= 128 else min(tile, (t // 128) * 128)
+    cfg = (eps, tile, bool(interpret))
+    return _pallas_project(cfg, dat, enc, w_all, b_all)

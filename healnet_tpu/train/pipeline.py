@@ -289,6 +289,7 @@ class Pipeline:
                 final_classifier_head=True,
                 snn=bool(mp("snn")),
                 attention_impl=str(self.config.get("attention_impl", "auto")),
+                projection_impl=str(self.config.get("projection_impl", "auto")),
                 dtype=self._compute_dtype(),
                 mesh=mesh,
             )
