@@ -46,7 +46,13 @@ def _batch(rng):
     }
 
 
-def bench_jax() -> float:
+def bench_jax(quantized: bool = False) -> float:
+    """Training-step throughput on the tuned BRCA config.
+
+    quantized=True feeds the WSI bag as an int8 QuantizedContext
+    (`data.quantize_arena` training: half the context bytes per step) —
+    published as a separate BENCH_NOTES row, NOT the headline number.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -82,6 +88,11 @@ def bench_jax() -> float:
     # feature tensors ship as bf16 (the input pipeline stores bf16 patch
     # features); labels/masks stay in their integer/fp32 types
     batch["tensors"] = tuple(t.astype(jnp.bfloat16) for t in batch["tensors"])
+    if quantized:
+        from healnet_tpu.ops.quantize import quantize_context
+
+        tab, wsi = batch["tensors"]
+        batch["tensors"] = (tab, quantize_context(wsi.astype(jnp.float32)))
     params = module.init(jax.random.PRNGKey(0), batch["tensors"])["params"]
     opt = make_optimizer(8e-3, total_steps=1000)
     opt_state = opt.init(params)
@@ -251,9 +262,9 @@ def _run_measurement() -> float:
     import subprocess
 
     code = (
-        "import bench, json; v, p = bench.bench_jax(); "
+        "import bench, json; v, p = bench.bench_jax(quantized=%s); "
         "print(json.dumps({'v': v, 'probe_ms': p}))"
-    )
+    ) % repr("--quantized" in sys.argv)
     proc = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -274,11 +285,15 @@ def main():
     stale = False
     stale_predates_dropout = False
     probe_ms = None
+    quantized = "--quantized" in sys.argv
     try:
         value, probe_ms = _run_measurement()
-        LAST_RESULT.write_text(
-            json.dumps({"value": value, "probe_ms": probe_ms, "dropout_on": True})
-        )
+        if not quantized:  # the headline cache holds the honest fp-fed step
+            LAST_RESULT.write_text(
+                json.dumps(
+                    {"value": value, "probe_ms": probe_ms, "dropout_on": True}
+                )
+            )
     except Exception:
         if LAST_RESULT.exists():  # TPU unreachable: report last good run
             last = json.loads(LAST_RESULT.read_text())
@@ -304,6 +319,10 @@ def main():
         # latency published for cross-session normalisation
         "dropout_on": not stale_predates_dropout,
     }
+    if quantized:
+        record["metric"] = "healnet_fusion_fwd_bwd_throughput_int8_arena"
+        if stale:
+            record["note"] = "TPU unreachable; stale cache is the FP number"
     if probe_ms is not None and np.isfinite(probe_ms):
         record["relay_dispatch_ms_p50"] = round(float(probe_ms), 1)
     if stale:

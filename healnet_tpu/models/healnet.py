@@ -41,6 +41,7 @@ from flax.core import FrozenDict
 
 from healnet_tpu.ops.fourier import positional_encoding
 from healnet_tpu.ops.fused_project import fused_kv_project
+from healnet_tpu.ops.quantize import QuantizedContext
 from healnet_tpu.models.layers import (
     PreNormAttention,
     PreNormFeedForward,
@@ -176,27 +177,38 @@ class HealNetModule(nn.Module):
         # axes. The raw data and the (batch-shared) positional encoding are
         # kept as SEPARATE parts: the merged-KV path projects the raw context
         # directly and applies normalization on the projection output, so the
-        # concatenated context never materializes in HBM.
-        context_parts: List[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = []
+        # concatenated context never materializes in HBM. A modality may
+        # arrive as a QuantizedContext (per-token int8 + f32 scales,
+        # ops/quantize.py): the merged projection then streams HALF the
+        # context bytes and rescales on the accumulator.
+        compute_dt = self.dtype if self.dtype is not None else jnp.float32
+        context_parts: List[Tuple[Any, Optional[jnp.ndarray]]] = []
         for i, data in enumerate(tensors):
+            quantized = isinstance(data, QuantizedContext)
             spatial = data.shape[1:-1]
             assert len(spatial) == self.num_spatial_axes[i], (
                 f"input data for modality {i + 1} must have the same number of "
                 f"axes as the num_spatial_axes parameter"
             )
-            if self.dtype is not None:
+            if self.dtype is not None and not quantized:
                 # cast once here: the context bytes dominate the step's HBM
                 # traffic — bf16 halves it
                 data = data.astype(self.dtype)
             enc_flat = None
             if self.fourier_encode_data:
                 enc = positional_encoding(
-                    spatial, self.max_freq, self.num_freq_bands, dtype=data.dtype
+                    spatial, self.max_freq, self.num_freq_bands,
+                    dtype=compute_dt if quantized else data.dtype,
                 )
                 enc_flat = enc.reshape(-1, enc.shape[-1])        # (tokens, E)
-            context_parts.append(
-                (data.reshape(b, -1, data.shape[-1]), enc_flat)
-            )
+            if quantized:
+                flat = QuantizedContext(
+                    data.data.reshape(b, -1, data.data.shape[-1]),
+                    data.scale.reshape(b, -1),
+                )
+            else:
+                flat = data.reshape(b, -1, data.shape[-1])
+            context_parts.append((flat, enc_flat))
 
         # remat path only: materialized, normalized concat contexts (shared
         # x_hat; each layer's LayerNorm affine folds into its to_kv weights).
@@ -205,6 +217,10 @@ class HealNetModule(nn.Module):
         contexts: List[jnp.ndarray] = []
         if self.remat:
             for dat, enc_flat in context_parts:
+                if isinstance(dat, QuantizedContext):
+                    # remat recomputes per block from the materialized
+                    # context anyway; dequantize once up front
+                    dat = dat.dequantize(compute_dt)
                 ctx = dat
                 if enc_flat is not None:
                     ctx = jnp.concatenate(
@@ -217,7 +233,8 @@ class HealNetModule(nn.Module):
                 xhat = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
                 contexts.append(xhat.astype(ctx.dtype))
 
-        cdt = context_parts[0][0].dtype
+        first = context_parts[0][0]
+        cdt = compute_dt if isinstance(first, QuantizedContext) else first.dtype
         if presence is None:
             presence = jnp.ones((b, self.n_modalities), dtype=cdt)
         presence = presence.astype(cdt)
@@ -331,6 +348,9 @@ class HealNetModule(nn.Module):
                     proj_impl = "xla"
                 kv_all = fused_kv_project(
                     dat, enc_flat, w_all, b_all, eps=1e-5, impl=proj_impl,
+                    out_dtype=(
+                        compute_dt if isinstance(dat, QuantizedContext) else None
+                    ),
                 )
                 offset = 0
                 for key, (w, _) in zip(group_keys, folds):

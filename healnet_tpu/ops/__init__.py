@@ -11,6 +11,11 @@ from healnet_tpu.ops.attention import (
     multihead_attention,
     split_heads,
 )
+from healnet_tpu.ops.quantize import (
+    QuantizedContext,
+    quantize_context,
+    quantize_context_host,
+)
 
 __all__ = [
     "fourier_encode",
@@ -24,4 +29,7 @@ __all__ = [
     "attention_scores",
     "multihead_attention",
     "split_heads",
+    "QuantizedContext",
+    "quantize_context",
+    "quantize_context_host",
 ]

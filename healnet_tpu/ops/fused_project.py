@@ -51,6 +51,15 @@ rounded to the context dtype before the enc addition (exactly what
 ``ctx @ w.astype(bf16) + enc @ w_e.astype(bf16)`` produces), and the
 statistics are f32 sums of the low-precision context values.
 
+**Quantized contexts** (`ops/quantize.py`): the context may arrive as
+per-token int8 values + f32 scales. Both the statistics and the projection
+commute with the per-token rescale (``rowsum(s*q) = s*rowsum(q)``,
+``(s*q) @ W = s*(q @ W)``), so the kernel streams HALF the context bytes and
+applies the scale on the tiny (tile, F) accumulator. The backward dW reads
+the int8 values directly (the scale folds into d_raw, which is
+weight-sized per token). Rounding contract, identical in both impls:
+``round_to_cdtype(acc_f32) -> f32 -> * scale -> round_to_cdtype -> + enc``.
+
 Falls back to interpret mode off-TPU so CPU tests exercise identical code.
 
 Reference behaviour being accelerated: the per-layer
@@ -62,6 +71,8 @@ from __future__ import annotations
 
 import functools
 from typing import Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -98,8 +109,15 @@ def _xla_project(
     w_all: jnp.ndarray,
     b_all: jnp.ndarray,
     eps: float,
+    scale: Optional[jnp.ndarray] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
-    """Two-pass XLA path: fused stats read + matmul read."""
+    """Two-pass XLA path: fused stats read + matmul read.
+
+    ``scale`` given => ``dat`` is per-token int8 (``ops/quantize.py``) and the
+    logical context is ``dat * scale[..., None]``.
+    """
+    cdt = jnp.dtype(out_dtype) if out_dtype is not None else dat.dtype
     c_dim = dat.shape[-1]
     w_c, w_e = w_all[:c_dim], w_all[c_dim:]
     colsum = jnp.sum(w_all, axis=0)
@@ -108,6 +126,9 @@ def _xla_project(
     xf = dat.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=-1)
     s2 = jnp.sum(jnp.square(xf), axis=-1)
+    if scale is not None:
+        s1 = scale * s1
+        s2 = jnp.square(scale) * s2
     if enc is not None:
         ef = enc.astype(jnp.float32)
         s1 = s1 + jnp.sum(ef, axis=-1)
@@ -116,12 +137,16 @@ def _xla_project(
     var = s2 / d_total - jnp.square(mu)
     inv = jax.lax.rsqrt(var + eps)
 
-    raw = dat @ w_c.astype(dat.dtype)
+    raw = dat.astype(cdt) @ w_c.astype(cdt)
+    if scale is not None:
+        # rounding contract shared with the kernel: round the accumulator to
+        # the compute dtype, rescale in f32, round again, then the enc add
+        raw = (raw.astype(jnp.float32) * scale[..., None]).astype(cdt)
     if enc is not None:
-        raw = raw + enc.astype(dat.dtype) @ w_e.astype(dat.dtype)
+        raw = raw + enc.astype(cdt) @ w_e.astype(cdt)
     return (
         inv[..., None] * (raw.astype(jnp.float32) - mu[..., None] * colsum) + b_all
-    ).astype(dat.dtype)
+    ).astype(cdt)
 
 
 # ---------------------------------------------------------------------------
@@ -129,22 +154,41 @@ def _xla_project(
 # ---------------------------------------------------------------------------
 
 
-def _kernel(d_total, eps, dat_ref, w_ref, encp_ref, encs_ref, aux_ref,
-            kv_ref, s1_ref, s2_ref):
+def _kernel(d_total, eps, quantized, *refs):
     """One (1, tile, C) context block -> (1, tile, F_pad) normalized KV.
 
     aux_ref rows: 0 = colsum(W), 1 = folded bias.
     encs_ref rows: 0 = enc row-sums, 1 = enc row-sum-squares (zeros if the
     modality has no positional encoding).
+    quantized: the context block is int8 with a (1, tile) f32 per-token
+    scale block appended to the inputs.
     """
-    x = dat_ref[0]                                    # (tile, C) ctx dtype
+    if quantized:
+        (dat_ref, w_ref, encp_ref, encs_ref, aux_ref, scl_ref,
+         kv_ref, s1_ref, s2_ref) = refs
+    else:
+        (dat_ref, w_ref, encp_ref, encs_ref, aux_ref,
+         kv_ref, s1_ref, s2_ref) = refs
+    cdt = kv_ref.dtype
+    x = dat_ref[0]                                    # (tile, C)
     xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=1) + encs_ref[0]            # (tile,)
-    s2 = jnp.sum(xf * xf, axis=1) + encs_ref[1]
+    s1 = jnp.sum(xf, axis=1)                          # (tile,)
+    s2 = jnp.sum(xf * xf, axis=1)
+    if quantized:
+        s = scl_ref[0, :, 0]                          # (tile,) f32
+        s1 = s * s1
+        s2 = s * s * s2
+    s1 = s1 + encs_ref[0]
+    s2 = s2 + encs_ref[1]
 
-    acc = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
-    # replicate the XLA path's rounding: bf16 matmul output + bf16 enc add
-    low = acc.astype(x.dtype) + encp_ref[:]
+    acc = jnp.dot(x.astype(cdt), w_ref[:], preferred_element_type=jnp.float32)
+    # replicate the XLA path's rounding: compute-dtype matmul output (+
+    # f32 rescale for quantized contexts) + compute-dtype enc add
+    if quantized:
+        low = (acc.astype(cdt).astype(jnp.float32) * s[:, None]).astype(cdt)
+        low = low + encp_ref[:]
+    else:
+        low = acc.astype(cdt) + encp_ref[:]
     raw = low.astype(jnp.float32)                     # (tile, F_pad)
 
     mu = s1 / d_total
@@ -159,27 +203,40 @@ def _kernel(d_total, eps, dat_ref, w_ref, encp_ref, encs_ref, aux_ref,
     s2_ref[0, :, 0] = s2
 
 
-def _pallas_call(dat, w_pad, enc_proj, enc_stats, aux, d_total, eps,
+def _pallas_call(dat, w_pad, enc_proj, enc_stats, aux, scale, d_total, eps,
                  tile, interpret):
     b, t, c = dat.shape
+    cdt = w_pad.dtype
     f_pad = w_pad.shape[1]
     tiles = pl.cdiv(t, tile)
-    kernel = functools.partial(_kernel, float(d_total), eps)
+    quantized = scale is not None
+    kernel = functools.partial(_kernel, float(d_total), eps, quantized)
+    in_specs = [
+        pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, f_pad), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, f_pad), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, tile), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, f_pad), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [dat, w_pad, enc_proj, enc_stats, aux]
+    if quantized:
+        # scales ride as (b, t, 1): a (1, tile) block over (b, t) violates
+        # Mosaic's (8, 128) trailing-dims rule, while (tile, 1) trailing
+        # dims are legal (same layout as the s1/s2 outputs)
+        in_specs.append(
+            pl.BlockSpec((1, tile, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(scale[..., None])
     return pl.pallas_call(
         kernel,
         grid=(b, tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, f_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, f_pad), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, f_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, tile, f_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -189,69 +246,72 @@ def _pallas_call(dat, w_pad, enc_proj, enc_stats, aux, d_total, eps,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t, f_pad), dat.dtype),
+            jax.ShapeDtypeStruct((b, t, f_pad), cdt),
             jax.ShapeDtypeStruct((b, t, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, t, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * c * f_pad,
             bytes_accessed=dat.size * dat.dtype.itemsize
-            + b * t * f_pad * dat.dtype.itemsize,
+            + b * t * f_pad * jnp.dtype(cdt).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(dat, w_pad, enc_proj, enc_stats, aux)
+    )(*operands)
 
 
-def _prep(dat, enc, w_all, b_all, tile):
+def _prep(dat, enc, w_all, b_all, tile, cdt):
     """Host-side (traced) prep: pad F, precompute tiny enc projection/stats."""
     b, t, c = dat.shape
     f = w_all.shape[1]
     f_pad = _round_up(f, 128)
     w_c = w_all[:c]
-    w_pad = jnp.zeros((c, f_pad), dat.dtype).at[:, :f].set(w_c.astype(dat.dtype))
+    w_pad = jnp.zeros((c, f_pad), cdt).at[:, :f].set(w_c.astype(cdt))
     colsum = jnp.sum(w_all, axis=0)
     aux = jnp.zeros((2, f_pad), jnp.float32)
     aux = aux.at[0, :f].set(colsum).at[1, :f].set(b_all)
 
     if enc is not None:
         w_e = w_all[c:]
-        ep = enc.astype(dat.dtype) @ w_e.astype(dat.dtype)     # (t, F)
-        enc_proj = jnp.zeros((t, f_pad), dat.dtype).at[:, :f].set(ep)
+        ep = enc.astype(cdt) @ w_e.astype(cdt)                 # (t, F)
+        enc_proj = jnp.zeros((t, f_pad), cdt).at[:, :f].set(ep)
         ef = enc.astype(jnp.float32)
         enc_stats = jnp.stack(
             [jnp.sum(ef, axis=-1), jnp.sum(jnp.square(ef), axis=-1)]
         )                                                      # (2, t)
     else:
-        enc_proj = jnp.zeros((t, f_pad), dat.dtype)
+        enc_proj = jnp.zeros((t, f_pad), cdt)
         enc_stats = jnp.zeros((2, t), jnp.float32)
     return w_pad, enc_proj, enc_stats, aux, f, f_pad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pallas_project(cfg, dat, enc, w_all, b_all):
-    kv, _, _ = _pallas_forward(cfg, dat, enc, w_all, b_all)
+def _pallas_project(cfg, dat, enc, w_all, b_all, scale=None):
+    kv, _, _ = _pallas_forward(cfg, dat, enc, w_all, b_all, scale)
     return kv
 
 
-def _pallas_forward(cfg, dat, enc, w_all, b_all):
-    eps, tile, interpret = cfg
-    w_pad, enc_proj, enc_stats, aux, f, _ = _prep(dat, enc, w_all, b_all, tile)
+def _pallas_forward(cfg, dat, enc, w_all, b_all, scale):
+    eps, tile, interpret, cdt_name = cfg
+    cdt = jnp.dtype(cdt_name) if cdt_name is not None else dat.dtype
+    w_pad, enc_proj, enc_stats, aux, f, _ = _prep(dat, enc, w_all, b_all, tile, cdt)
     d_total = w_all.shape[0]
     kv_pad, s1, s2 = _pallas_call(
-        dat, w_pad, enc_proj, enc_stats, aux, d_total, eps, tile, interpret
+        dat, w_pad, enc_proj, enc_stats, aux, scale, d_total, eps, tile, interpret
     )
     return kv_pad[..., :f], s1[..., 0], s2[..., 0]
 
 
-def _pallas_fwd(cfg, dat, enc, w_all, b_all):
-    kv, s1, s2 = _pallas_forward(cfg, dat, enc, w_all, b_all)
-    return kv, (dat, enc, w_all, b_all, s1, s2)
+def _pallas_fwd(cfg, dat, enc, w_all, b_all, scale=None):
+    kv, s1, s2 = _pallas_forward(cfg, dat, enc, w_all, b_all, scale)
+    return kv, (dat, enc, w_all, b_all, scale, s1, s2)
 
 
 def _pallas_bwd(cfg, res, g):
-    eps, _, _ = cfg
-    dat, enc, w_all, b_all, s1, s2 = res
+    eps = cfg[0]
+    dat, enc, w_all, b_all, scale, s1, s2 = res
+    quantized = scale is not None
+    cdt = g.dtype
     c = dat.shape[-1]
     d_total = w_all.shape[0]
     colsum = jnp.sum(w_all, axis=0)
@@ -262,14 +322,22 @@ def _pallas_bwd(cfg, res, g):
 
     gf = g.astype(jnp.float32)
     d_bias = jnp.sum(gf, axis=(0, 1))
-    d_raw = (inv[..., None] * gf).astype(dat.dtype)            # (b, t, F)
+    if quantized:
+        # dW_c = (scale*q)^T d_raw = q^T (scale*d_raw): fold the per-token
+        # scale into the tiny d_raw so the context read stays int8
+        d_raw = ((scale * inv)[..., None] * gf).astype(cdt)    # (b, t, F)
+        d_raw_plain = (inv[..., None] * gf).astype(cdt)        # for d_we
+    else:
+        d_raw = (inv[..., None] * gf).astype(cdt)
+        d_raw_plain = d_raw
     d_wc = jnp.einsum(
-        "btc,btf->cf", dat, d_raw, preferred_element_type=jnp.float32
+        "btc,btf->cf", dat.astype(cdt), d_raw,
+        preferred_element_type=jnp.float32,
     )
     d_colsum = -jnp.sum((inv * mu)[..., None] * gf, axis=(0, 1))
     d_w = jnp.zeros_like(w_all).at[:c].set(d_wc) + d_colsum[None, :]
     if enc is not None:
-        d_raw_t = jnp.sum(d_raw.astype(jnp.float32), axis=0)   # (t, F)
+        d_raw_t = jnp.sum(d_raw_plain.astype(jnp.float32), axis=0)  # (t, F)
         d_we = jnp.einsum(
             "te,tf->ef", enc.astype(jnp.float32), d_raw_t,
             preferred_element_type=jnp.float32,
@@ -279,9 +347,11 @@ def _pallas_bwd(cfg, res, g):
     # ---- input cotangents: standalone so XLA DCEs the extra context read
     # whenever the context does not require gradients (the training case).
     w_c = w_all[:c]
-    raw = (dat @ w_c.astype(dat.dtype)).astype(jnp.float32)
+    raw = (dat.astype(cdt) @ w_c.astype(cdt)).astype(jnp.float32)
+    if quantized:
+        raw = raw * scale[..., None]
     if enc is not None:
-        raw = raw + (enc.astype(dat.dtype) @ w_all[c:].astype(dat.dtype)).astype(
+        raw = raw + (enc.astype(cdt) @ w_all[c:].astype(cdt)).astype(
             jnp.float32
         )
     p_term = raw - mu[..., None] * colsum                      # P
@@ -292,11 +362,25 @@ def _pallas_bwd(cfg, res, g):
     d_s2 = d_var / d_total
     d_mu = d_mu - 2.0 * mu * d_var
     d_s1 = d_mu / d_total
-    d_dat = (
+    # d/d(effective context x = dat or scale*dat); all three terms standalone
+    x_eff_f32 = dat.astype(jnp.float32)
+    if quantized:
+        x_eff_f32 = x_eff_f32 * scale[..., None]
+    d_x = (
         (d_p @ w_c.T.astype(jnp.float32))
         + d_s1[..., None]
-        + 2.0 * dat.astype(jnp.float32) * d_s2[..., None]
-    ).astype(dat.dtype)
+        + 2.0 * x_eff_f32 * d_s2[..., None]
+    )
+    if quantized:
+        # int8 values carry no tangent; the scale's cotangent is the row
+        # contraction of d_x with the integer values
+        d_dat = np.zeros(dat.shape, dtype=jax.dtypes.float0)
+        d_scale = jnp.sum(d_x * dat.astype(jnp.float32), axis=-1).astype(
+            scale.dtype
+        )
+    else:
+        d_dat = d_x.astype(dat.dtype)
+        d_scale = None
     if enc is not None:
         d_enc = (
             jnp.sum(d_p, axis=0) @ w_all[c:].T.astype(jnp.float32)
@@ -305,7 +389,7 @@ def _pallas_bwd(cfg, res, g):
         ).astype(enc.dtype)
     else:
         d_enc = None
-    return d_dat, d_enc, d_w.astype(w_all.dtype), d_bias.astype(b_all.dtype)
+    return d_dat, d_enc, d_w.astype(w_all.dtype), d_bias.astype(b_all.dtype), d_scale
 
 
 _pallas_project.defvjp(_pallas_fwd, _pallas_bwd)
@@ -317,7 +401,7 @@ _pallas_project.defvjp(_pallas_fwd, _pallas_bwd)
 
 
 def fused_kv_project(
-    dat: jnp.ndarray,
+    dat,
     enc: Optional[jnp.ndarray],
     w_all: jnp.ndarray,
     b_all: jnp.ndarray,
@@ -326,13 +410,18 @@ def fused_kv_project(
     impl: str = "auto",
     tile: int = _DEF_TILE,
     interpret: Optional[bool] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Merged folded-KV projection of a raw context.
 
-    dat: (b, tokens, C) raw context; enc: optional (tokens, E) positional
-    encoding shared across the batch; w_all: (C+E, F) f32 folded projection
-    weights (all layer groups concatenated); b_all: (F,) folded biases.
-    Returns (b, tokens, F) in ``dat.dtype``.
+    dat: (b, tokens, C) raw context — either an array or a
+    :class:`healnet_tpu.ops.quantize.QuantizedContext` (per-token int8 values
+    + f32 scales: half the HBM bytes, scale applied on the accumulator);
+    enc: optional (tokens, E) positional encoding shared across the batch;
+    w_all: (C+E, F) f32 folded projection weights (all layer groups
+    concatenated); b_all: (F,) folded biases. Returns (b, tokens, F) in
+    ``out_dtype`` (default: the context dtype; quantized contexts must pass
+    ``out_dtype`` explicitly or default to float32).
 
     impl: 'xla', 'pallas', or 'auto' (pallas on TPU for HBM-bound contexts,
     xla otherwise — and always under a mesh, where pallas_call cannot be
@@ -348,12 +437,21 @@ def fused_kv_project(
     only in the real model graph. Details: BENCH_NOTES.md "Fused KV
     projection".
     """
+    from healnet_tpu.ops.quantize import QuantizedContext
+
+    scale = None
+    if isinstance(dat, QuantizedContext):
+        scale = dat.scale
+        dat = dat.data
+        if out_dtype is None:
+            out_dtype = jnp.float32
     if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown fused projection impl: {impl!r}")
     if impl == "auto":
         impl = "pallas" if (_on_tpu() and dat.size >= _MIN_ELEMENTS) else "xla"
     if impl != "pallas":
-        return _xla_project(dat, enc, w_all, b_all, eps)
+        return _xla_project(dat, enc, w_all, b_all, eps, scale=scale,
+                            out_dtype=out_dtype)
     if interpret is None:
         interpret = not _on_tpu()
     t = dat.shape[1]
@@ -361,5 +459,6 @@ def fused_kv_project(
     # and the lane dim of the enc-stats block — either a multiple of 128 or
     # the full token count.
     tile = t if t <= 128 else min(tile, (t // 128) * 128)
-    cfg = (eps, tile, bool(interpret))
-    return _pallas_project(cfg, dat, enc, w_all, b_all)
+    cdt_name = jnp.dtype(out_dtype).name if out_dtype is not None else None
+    cfg = (eps, tile, bool(interpret), cdt_name)
+    return _pallas_project(cfg, dat, enc, w_all, b_all, scale)

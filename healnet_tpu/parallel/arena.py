@@ -129,6 +129,13 @@ def gather_sharded(
             return win * (owner == s).astype(win.dtype)
 
         out = jax.vmap(one)(offs)
+        if jnp.issubdtype(out.dtype, jnp.integer):
+            # int8 arenas (quantized features): accumulate the psum in i32
+            # — exactly one shard contributes so values stay in range, but
+            # narrow-int all-reduce support varies by backend
+            return jax.lax.psum(out.astype(jnp.int32), arena.axis).astype(
+                out.dtype
+            )
         return jax.lax.psum(out, arena.axis)
 
     return shard_map(

@@ -42,7 +42,7 @@ class Predictor:
         batch_size: int = 8,
         compute_dtype: Any = None,
         bucket_boundaries: Optional[Sequence[int]] = None,
-        feature_arena: Optional[np.ndarray] = None,
+        feature_arena: Optional[Any] = None,  # np.ndarray | QuantizedContext
     ):
         """
         Args:
@@ -93,14 +93,31 @@ class Predictor:
         def predict_arena(params, tensors, presence, kv_masks, arena, offsets):
             # on-device bag gather, identical to the trainer's arena path
             # (`train/loop.py` _gather_arena): width static per bucket
+            from healnet_tpu.ops.quantize import QuantizedContext
+
             width = kv_masks[-1].shape[1]
-            dim = arena.shape[1]
+            offs = offsets.astype(jnp.int32)
+            if isinstance(arena, QuantizedContext):
+                # int8 arena (`data.quantize_arena`): gather values + scales;
+                # out-of-bag rows zero via the width-sized SCALE
+                dim = arena.data.shape[1]
 
-            def slice_one(off):
-                return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
+                def slice_q(off):
+                    return (
+                        jax.lax.dynamic_slice(arena.data, (off, 0), (width, dim)),
+                        jax.lax.dynamic_slice(arena.scale, (off,), (width,)),
+                    )
 
-            slide = jax.vmap(slice_one)(offsets.astype(jnp.int32))
-            slide = slide * kv_masks[-1][..., None].astype(slide.dtype)
+                q, s = jax.vmap(slice_q)(offs)
+                slide = QuantizedContext(q, s * kv_masks[-1].astype(s.dtype))
+            else:
+                dim = arena.shape[1]
+
+                def slice_one(off):
+                    return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
+
+                slide = jax.vmap(slice_one)(offs)
+                slide = slide * kv_masks[-1][..., None].astype(slide.dtype)
             full = tuple(tensors) + (slide,)
             return predict(params, full, presence, kv_masks)
 

@@ -140,6 +140,7 @@ class SurvivalTrainer:
         fused_epochs: bool = False,
         arena_sharded: bool = False,
         arena_halo: Optional[int] = None,
+        arena_quant: bool = False,
     ):
         # arena_sharded (mesh mode only): shard the feature arena's rows over
         # the mesh's `seq` axis instead of replicating it per chip — cohorts
@@ -194,6 +195,17 @@ class SurvivalTrainer:
         self.reg_topo = reg_topo
         self.sources = sources
         self.aux_loss = aux_loss
+        # bag models (MCAT's bag net, MultiModN's PatchEncoder) pool the
+        # zero-padded gathered tokens without masks — only pass kv_masks to
+        # modules whose __call__ takes them (HealNet family)
+        import inspect
+
+        try:
+            self._accepts_kv_masks = "kv_masks" in inspect.signature(
+                type(module).__call__
+            ).parameters
+        except (TypeError, ValueError):
+            self._accepts_kv_masks = True
         self.n_bins = n_bins
         self.checkpoint_dir = checkpoint_dir
         self.resume = resume
@@ -208,10 +220,20 @@ class SurvivalTrainer:
         self.bucket_boundaries = (
             tuple(int(b) for b in bucket_boundaries) if bucket_boundaries else None
         )
+        # arena_quant: store the arena as per-token int8 + f32 scales
+        # (ops/quantize.py) — half the HBM footprint (2x cohort capacity) and
+        # half the context bytes each step streams; the fused KV projection
+        # rescales on the accumulator. HealNet-family modules only (they
+        # route QuantizedContext through the merged projection).
         if feature_arena is not None and not isinstance(feature_arena, (tuple, list)):
             feature_arena = (feature_arena, None, None)
         self._arena_host = None if feature_arena is None else feature_arena[0]
         self._arena = None  # device-resident copy, placed lazily
+        from healnet_tpu.ops.quantize import QuantizedContext
+
+        self.arena_quant = bool(arena_quant) or isinstance(
+            self._arena_host, QuantizedContext
+        )
         self.arena_sharded = bool(arena_sharded) and mesh is not None
         if arena_halo is None:
             candidates = list(bucket_boundaries or [])
@@ -267,6 +289,15 @@ class SurvivalTrainer:
         if self._arena_host is None:
             return None
         if self._arena is None:
+            from healnet_tpu.ops.quantize import (
+                QuantizedContext,
+                quantize_context_host,
+            )
+
+            host = self._arena_host
+            if self.arena_quant and not isinstance(host, QuantizedContext):
+                q, s = quantize_context_host(np.asarray(host))
+                host = QuantizedContext(q, s)
             if self.mesh is not None and self.arena_sharded:
                 from healnet_tpu.parallel.arena import build_sharded_arena
 
@@ -274,17 +305,31 @@ class SurvivalTrainer:
                     "arena_sharded needs arena_halo (widest gather window); "
                     "pass bucket_boundaries or the arena lengths"
                 )
-                self._arena = build_sharded_arena(
-                    np.asarray(self._arena_host), self.mesh, halo=self.arena_halo
-                )
+                if isinstance(host, QuantizedContext):
+                    # rows shard identically for values and scales (scales
+                    # ride as a dim-1 column so the same gather applies)
+                    self._arena = QuantizedContext(
+                        build_sharded_arena(
+                            np.asarray(host.data), self.mesh, halo=self.arena_halo
+                        ),
+                        build_sharded_arena(
+                            np.asarray(host.scale)[:, None],
+                            self.mesh,
+                            halo=self.arena_halo,
+                        ),
+                    )
+                else:
+                    self._arena = build_sharded_arena(
+                        np.asarray(host), self.mesh, halo=self.arena_halo
+                    )
             elif self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 self._arena = jax.device_put(
-                    self._arena_host, NamedSharding(self.mesh, PartitionSpec())
+                    host, NamedSharding(self.mesh, PartitionSpec())
                 )
             else:
-                self._arena = jax.device_put(self._arena_host)
+                self._arena = jax.device_put(host)
         return self._arena
 
     # ------------------------------------------------------------- building
@@ -408,27 +453,47 @@ class SurvivalTrainer:
         arena's trailing zero-pad rows make every fixed-width window
         in-bounds, and out-of-bag rows are masked by the KV mask.
         """
+        from healnet_tpu.ops.quantize import QuantizedContext
         from healnet_tpu.parallel.arena import ShardedArena, gather_sharded
 
         width = batch["kv_masks"][-1].shape[1]
+        mask = batch["kv_masks"][-1]
+        offs = batch["patch_offsets"].astype(jnp.int32)
+
+        if isinstance(arena, QuantizedContext):
+            # quantized arena: gather int8 values + f32 scales; out-of-bag
+            # rows zero via the SCALE (width-sized — the dequantized value
+            # of a zero-scale row is exactly zero)
+            if isinstance(arena.data, ShardedArena):
+                q = gather_sharded(arena.data, offs, width, self.mesh)
+                s = gather_sharded(arena.scale, offs, width, self.mesh)[..., 0]
+            else:
+                dim = arena.data.shape[1]
+
+                def slice_q(off):
+                    return (
+                        jax.lax.dynamic_slice(arena.data, (off, 0), (width, dim)),
+                        jax.lax.dynamic_slice(arena.scale, (off,), (width,)),
+                    )
+
+                q, s = jax.vmap(slice_q)(offs)
+            slide = QuantizedContext(q, s * mask.astype(s.dtype))
+            return tuple(batch["tensors"]) + (slide,)
 
         if isinstance(arena, ShardedArena):
-            slide = gather_sharded(
-                arena, batch["patch_offsets"].astype(jnp.int32), width, self.mesh
-            )
+            slide = gather_sharded(arena, offs, width, self.mesh)
         else:
             dim = arena.shape[1]
 
             def slice_one(off):
                 return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
 
-            slide = jax.vmap(slice_one)(batch["patch_offsets"].astype(jnp.int32))
+            slide = jax.vmap(slice_one)(offs)
         # zero out-of-bag rows: a fixed-width window past a short bag reads
         # the NEXT slide's rows. Attention KV-masks them anyway, but models
         # that pool all tokens unmasked (MultiModN's PatchEncoder, MCAT's
         # bag net) need the host path's zero padding — and the multiply
         # fuses into the gather copy, so it is effectively free.
-        mask = batch["kv_masks"][-1]
         slide = slide * mask[..., None].astype(slide.dtype)
         return tuple(batch["tensors"]) + (slide,)
 
@@ -454,7 +519,7 @@ class SurvivalTrainer:
             )
             return logits, model_loss
         kwargs = {}
-        if batch.get("kv_masks") is not None:
+        if batch.get("kv_masks") is not None and self._accepts_kv_masks:
             kwargs["kv_masks"] = batch["kv_masks"]  # ragged-context token masks
         logits = self.module.apply(
             {"params": params},
@@ -620,10 +685,19 @@ class SurvivalTrainer:
         if self._arena_host is not None and batch.get("patch_offsets") is not None:
             # arena mode: reconstruct the slide tensor host-side for shape
             # inference at init (one batch; training gathers on-device)
+            from healnet_tpu.ops.quantize import QuantizedContext
+
             width = batch["kv_masks"][-1].shape[1]
+            host = self._arena_host
+            if isinstance(host, QuantizedContext):
+                # init only infers shapes; the fp window is fine (and the
+                # params are identical either way)
+                host = np.asarray(host.data, np.float32) * np.asarray(
+                    host.scale, np.float32
+                )[..., None]
             slide = np.stack(
                 [
-                    np.asarray(self._arena_host[off : off + width])
+                    np.asarray(host[off : off + width])
                     for off in batch["patch_offsets"]
                 ]
             )

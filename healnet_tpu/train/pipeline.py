@@ -362,7 +362,30 @@ class Pipeline:
         arena_sharded = False
         parent = getattr(train_view, "parent", train_view)
         if getattr(parent, "device_cache", False):
+            from healnet_tpu.ops.quantize import (
+                QuantizedContext,
+                quantize_context_host,
+            )
+
             arena, offsets, lengths = parent.feature_arena()
+            # data.quantize_arena: store the arena as per-token int8 values
+            # + f32 scales (ops/quantize.py) — half the HBM footprint and
+            # half the context bytes each step streams; the fused KV
+            # projection rescales on the accumulator. HealNet-family only
+            # (other models consume the gathered slide as a raw tensor).
+            quantize_arena = bool(self.config.get("data.quantize_arena", False))
+            if quantize_arena and self.config["model"] not in (
+                "healnet", "healnet_early"
+            ):
+                print(
+                    "data.quantize_arena ignored: model "
+                    f"{self.config['model']!r} does not route QuantizedContext"
+                )
+                quantize_arena = False
+            if quantize_arena and not isinstance(arena, QuantizedContext):
+                q, s = quantize_context_host(np.asarray(arena))
+                arena = QuantizedContext(q, s)
+                parent.adopt_device_arena(arena)  # release the fp32 pack
             # data.shard_arena: shard arena rows over the mesh's seq axis
             # (cohorts beyond one chip's HBM — parallel/arena.py). The host
             # pack stays resident (the trainer builds the halo'd shards from
@@ -371,7 +394,12 @@ class Pipeline:
                 mesh is not None
             )
             if arena_sharded:
-                feature_arena = (np.asarray(arena), offsets, lengths)
+                feature_arena = (
+                    arena if isinstance(arena, QuantizedContext)
+                    else np.asarray(arena),
+                    offsets,
+                    lengths,
+                )
             elif self._arena_device is None:
                 # one HBM upload per RUN — every fold's trainer receives the
                 # already-resident device array (device_put no-ops on it)

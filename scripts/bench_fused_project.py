@@ -30,19 +30,27 @@ def main():
     w = jnp.asarray(rng.normal(size=(C + E, F)) * 0.05, jnp.float32)
     bias = jnp.asarray(rng.normal(size=(F,)) * 0.1, jnp.float32)
 
+    # int8 quantized context (ops/quantize.py): HALF the context bytes per
+    # read; scale applied on the (tile, F) accumulator
+    from healnet_tpu.ops.quantize import quantize_context
+
+    qdat = quantize_context(dat.astype(jnp.float32))
+
     def fwd(impl, dat, w, bias):
-        out = fused_kv_project(dat, enc, w, bias, impl=impl)
+        out = fused_kv_project(dat, enc, w, bias, impl=impl,
+                               out_dtype=jnp.bfloat16)
         return jnp.sum(out.astype(jnp.float32))
 
     def train(impl, dat, w, bias):
         def loss(w, bias):
-            out = fused_kv_project(dat, enc, w, bias, impl=impl)
+            out = fused_kv_project(dat, enc, w, bias, impl=impl,
+                                   out_dtype=jnp.bfloat16)
             return jnp.sum(out.astype(jnp.float32))
 
         l, g = jax.value_and_grad(loss, argnums=(0, 1))(w, bias)
         return l + jnp.sum(g[0]) + jnp.sum(g[1])
 
-    def timed(fn, n_hi=30):
+    def timed(fn, ctx, n_hi=30):
         # Thread the loop carry through the TINY weight operand: perturbing
         # the 134MB context instead would add an elementwise pass that XLA
         # fuses into its own matmul but cannot fuse into a pallas_call,
@@ -51,7 +59,7 @@ def main():
         def loop(n):
             def body(i, acc):
                 wp = w + (acc * 1e-30).astype(w.dtype)
-                return acc + fn(dat, wp, bias)
+                return acc + fn(ctx, wp, bias)
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -69,10 +77,16 @@ def main():
     res = {}
     for impl in ("xla", "pallas"):
         res[f"{impl}_fwd_ms"] = round(
-            timed(functools.partial(fwd, impl)) * 1e3, 4
+            timed(functools.partial(fwd, impl), dat) * 1e3, 4
         )
         res[f"{impl}_train_ms"] = round(
-            timed(functools.partial(train, impl)) * 1e3, 4
+            timed(functools.partial(train, impl), dat) * 1e3, 4
+        )
+        res[f"{impl}_q_fwd_ms"] = round(
+            timed(functools.partial(fwd, impl), qdat) * 1e3, 4
+        )
+        res[f"{impl}_q_train_ms"] = round(
+            timed(functools.partial(train, impl), qdat) * 1e3, 4
         )
     ctx_ms = 0.134 / 830 * 1e3  # one 134MB read at 830 GB/s roofline
     res["context_read_ms_at_roofline"] = round(ctx_ms, 4)

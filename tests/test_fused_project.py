@@ -28,7 +28,7 @@ def _mats(rng, b=2, t=384, c=256, e=10, f=252, dtype=jnp.float32):
 
 
 def _pallas(dat, enc, w, bias, tile=128):
-    return _pallas_project((1e-5, tile, True), dat, enc, w, bias)
+    return _pallas_project((1e-5, tile, True, None), dat, enc, w, bias)
 
 
 def test_forward_parity_f32(rng):

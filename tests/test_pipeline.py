@@ -364,6 +364,56 @@ def test_pipeline_device_cache_matches_host_path(ragged_tcga_tree, tmp_path):
         np.testing.assert_allclose(arena[key], host[key], rtol=1e-5, err_msg=key)
 
 
+def test_pipeline_quantized_arena(ragged_tcga_tree, tmp_path):
+    """data.quantize_arena: int8 arena end-to-end through the pipeline —
+    the trainer sees a QuantizedContext arena and the k-fold summary tracks
+    the fp arena run to quantization noise."""
+    from healnet_tpu.ops.quantize import QuantizedContext
+
+    common = dict(
+        patch_attention=True,
+        train_loop={"batch_size": 4, "epochs": 2, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1,
+                    "bucket_boundaries": [3, 6]},
+    )
+    cfg_fp = _config(ragged_tcga_tree, tmp_path, **common)
+    cfg_fp["data"]["device_cache"] = True
+    fp = Pipeline(config=cfg_fp).main()
+
+    cfg = _config(ragged_tcga_tree, tmp_path, **common)
+    cfg["data"]["device_cache"] = True
+    cfg["data"]["quantize_arena"] = True
+    cfg["data"]["cache_dataset"] = False  # fp run must not leak its arena
+    pipe = Pipeline(config=cfg)
+    quant = pipe.main()
+    assert pipe._trainer.arena_quant
+    assert isinstance(pipe._trainer._device_arena(), QuantizedContext)
+    # val/test folds of this 20-sample cohort can lack comparable pairs
+    # (c-index NaN in BOTH runs); train c-index must be real and all three
+    # must track the fp run (allclose treats matching NaNs as equal)
+    assert np.isfinite(quant["mean_train_c_index"])
+    for key in ("mean_train_c_index", "mean_val_c_index", "mean_test_c_index"):
+        np.testing.assert_allclose(quant[key], fp[key], atol=0.15, err_msg=key)
+
+
+def test_pipeline_quantize_arena_ignored_for_non_healnet(ragged_tcga_tree, tmp_path, capsys):
+    """Non-HealNet models consume raw slide tensors: the knob must be a
+    no-op with a visible notice, not a crash."""
+    cfg = _config(ragged_tcga_tree, tmp_path, model="mcat",
+                  patch_attention=True,
+                  train_loop={"batch_size": 4, "epochs": 1,
+                              "early_stopping": False, "patience": 5,
+                              "gc_compat": 1, "bucket_boundaries": [6]})
+    cfg["data"]["device_cache"] = True
+    cfg["data"]["quantize_arena"] = True
+    cfg["data"]["cache_dataset"] = False
+    pipe = Pipeline(config=cfg)
+    res = pipe.main()
+    assert not pipe._trainer.arena_quant
+    assert "quantize_arena ignored" in capsys.readouterr().out
+    assert np.isfinite(res["mean_train_c_index"])
+
+
 def test_pipeline_builds_dataset_and_arena_once_across_folds(ragged_tcga_tree, tmp_path, monkeypatch):
     """k-fold runs share ONE dataset (and one arena upload): only the split
     indices depend on the fold."""

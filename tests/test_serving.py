@@ -189,3 +189,40 @@ def test_predict_from_arena_matches_dense(module_and_params, rng):
     ref = predictor.predict_ragged([omic, bags])
     np.testing.assert_allclose(out["logits"], ref["logits"], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(out["risk"], ref["risk"], rtol=1e-5, atol=1e-6)
+
+
+def test_predict_from_quantized_arena(module_and_params, rng):
+    """int8 QuantizedContext arena serving == fp arena serving on the
+    DEQUANTIZED features (int8 rounding is the only difference vs dense)."""
+    from healnet_tpu.ops.quantize import QuantizedContext, quantize_context_host
+
+    module, params = module_and_params
+    n, dim = 6, 6
+    lengths = np.asarray([3, 8, 5, 16, 2, 11], np.int32)
+    offsets = np.zeros(n, np.int32)
+    cursor = 0
+    rows = []
+    for i, l in enumerate(lengths):
+        offsets[i] = cursor
+        rows.append(rng.normal(size=(l, dim)).astype(np.float32))
+        cursor += l
+    arena = np.concatenate(rows + [np.zeros((16, dim), np.float32)])
+    omic = rng.normal(size=(n, 1, 12)).astype(np.float32)
+
+    q, s = quantize_context_host(arena)
+    deq = q.astype(np.float32) * s[:, None]
+
+    p_q = Predictor(
+        module, params, batch_size=4, bucket_boundaries=[8, 16],
+        feature_arena=QuantizedContext(q, s),
+    )
+    p_fp = Predictor(
+        module, params, batch_size=4, bucket_boundaries=[8, 16],
+        feature_arena=deq,
+    )
+    out_q = p_q.predict_from_arena([omic], offsets, lengths)
+    out_fp = p_fp.predict_from_arena([omic], offsets, lengths)
+    np.testing.assert_allclose(
+        out_q["logits"], out_fp["logits"], rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(out_q["risk"], out_fp["risk"], rtol=5e-3, atol=5e-3)
