@@ -269,7 +269,7 @@ def _run_measurement() -> float:
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
-        timeout=480,
+        timeout=560,
         cwd=str(Path(__file__).parent),
     )
     for line in reversed(proc.stdout.strip().splitlines()):

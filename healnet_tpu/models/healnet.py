@@ -539,7 +539,9 @@ class HealNet:
         batch = None
         for t in tensors:
             if t is not None:
-                batch = np.asarray(t).shape[0]
+                batch = t.shape[0] if isinstance(t, QuantizedContext) else (
+                    np.asarray(t).shape[0]
+                )
                 break
         assert batch is not None, "at least one modality must be present"
 
@@ -552,6 +554,12 @@ class HealNet:
                     self.module.channel_dims[i],
                 )
                 prepared.append(jnp.zeros(shape, dtype=jnp.float32))
+            elif isinstance(t, QuantizedContext):
+                # int8 context (ops/quantize.py): pass through — the module's
+                # merged KV projection consumes it without dequantizing
+                prepared.append(
+                    QuantizedContext(jnp.asarray(t.data), jnp.asarray(t.scale))
+                )
             else:
                 prepared.append(jnp.asarray(t, dtype=jnp.float32))
 

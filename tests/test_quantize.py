@@ -203,6 +203,35 @@ def test_model_quantized_context_remat_path(rng):
     )
 
 
+def test_wrapper_quantized_context(rng):
+    """The public HealNet wrapper accepts a QuantizedContext modality
+    (README-quickstart flow with an int8 arena slide, incl. lazy init)."""
+    from healnet_tpu import HealNet
+    from healnet_tpu.ops import QuantizedContext, quantize_context_host
+
+    tab = rng.normal(size=(2, 1, 24)).astype(np.float32)
+    wsi = rng.normal(size=(2, 40, 32)).astype(np.float32)
+    q, s = quantize_context_host(wsi)
+    qc = QuantizedContext(jnp.asarray(q), jnp.asarray(s))
+
+    model = HealNet(
+        n_modalities=2, channel_dims=[24, 32], num_spatial_axes=[1, 1],
+        out_dims=4, depth=2, l_c=6, l_d=16, x_heads=1, l_heads=2,
+        cross_dim_head=8, latent_dim_head=8, self_per_cross_attn=0,
+    )
+    out_fp = np.asarray(model([tab, wsi]))          # lazy init on fp inputs
+    out_q = np.asarray(model([tab, qc]))
+    np.testing.assert_allclose(out_q, out_fp, rtol=5e-3, atol=5e-3)
+
+    # quantized-first lazy init must work too
+    model2 = HealNet(
+        n_modalities=2, channel_dims=[24, 32], num_spatial_axes=[1, 1],
+        out_dims=4, depth=2, l_c=6, l_d=16, x_heads=1, l_heads=2,
+        cross_dim_head=8, latent_dim_head=8, self_per_cross_attn=0,
+    )
+    assert np.asarray(model2([tab, qc])).shape == (2, 4)
+
+
 def test_model_quantized_pallas_matches_xla_impl(rng):
     """Impl dispatch must not change quantized logits beyond float noise."""
     tab = jnp.asarray(rng.normal(size=(2, 1, 24)), jnp.float32)
