@@ -321,14 +321,16 @@ def main():
     }
     if quantized:
         record["metric"] = "healnet_fusion_fwd_bwd_throughput_int8_arena"
-        if stale:
-            record["note"] = "TPU unreachable; stale cache is the FP number"
     if probe_ms is not None and np.isfinite(probe_ms):
         record["relay_dispatch_ms_p50"] = round(float(probe_ms), 1)
     if stale:
+        # the cache only ever holds the FP-fed headline (quantized runs do
+        # not write it), so a stale --quantized run must say the number is
+        # the FP one — don't let the generic note mask that
         record["note"] = (
             "TPU unreachable at bench time; last measured value"
             + (" (pre-dropout-config cache)" if stale_predates_dropout else "")
+            + ("; stale cache holds the FP number, not int8" if quantized else "")
         )
     print(json.dumps(record))
 

@@ -57,6 +57,11 @@ class MCAT(nn.Module):
     model_size_wsi: str = "small"
     model_size_omic: str = "small"
     dropout: float = 0.25
+    # reference parity layout is (b, dim, patches) (`loaders.py:382-395`
+    # permute). Under `patch_attention` / arena mode the pipeline feeds
+    # (b, patches, dim) tokens — set tokens_layout=True (the factory does)
+    # or the FC stack would silently run over the PATCH axis.
+    tokens_layout: bool = False
 
     @nn.compact
     def __call__(
@@ -76,8 +81,9 @@ class MCAT(nn.Module):
             if isinstance(raw_omic, (list, tuple))
             else [_flatten_leading(raw_omic)]
         )
-        wsi = tensors[1]                              # (b, dim, patches)
-        wsi = jnp.swapaxes(wsi, 1, 2)                 # (b, patches, dim)
+        wsi = tensors[1]
+        if not self.tokens_layout:                    # (b, dim, patches) in
+            wsi = jnp.swapaxes(wsi, 1, 2)             # (b, patches, dim)
         if presence is not None:
             # zero-imputation missing-modality convention: the trainer's
             # ablation harness drives presence; these nets have no native
@@ -160,6 +166,7 @@ class MILAttentionNet(nn.Module):
     n_classes: int = 4
     size_arg: str = "small"
     dropout: float = 0.25
+    tokens_layout: bool = False  # True: input already (b, patches, dim)
 
     @nn.compact
     def __call__(
@@ -169,7 +176,8 @@ class MILAttentionNet(nn.Module):
         deterministic: bool = True,
     ):
         wsi = tensors[0]
-        wsi = jnp.swapaxes(wsi, 1, 2)                 # (b, patches, dim)
+        if not self.tokens_layout:
+            wsi = jnp.swapaxes(wsi, 1, 2)             # (b, patches, dim)
         if presence is not None:
             wsi = wsi * presence[:, -1][:, None, None]
         sizes = {"small": (1024, 512, 256), "big": (1024, 512, 384)}[self.size_arg]

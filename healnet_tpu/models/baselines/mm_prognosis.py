@@ -70,6 +70,7 @@ class MMPrognosis(nn.Module):
     embedding_dims: int = 256
     dropout: float = 0.5
     batch_norm: bool = True
+    tokens_layout: bool = False  # True: patch bags arrive (b, patches, dim)
 
     @nn.compact
     def __call__(
@@ -82,9 +83,9 @@ class MMPrognosis(nn.Module):
         embeddings = []
         for i, t in enumerate(tensors):
             if t.ndim == 3 and t.shape[1] > 1 and t.shape[2] > 1:
-                # patch bag (b, dim, patches): 1D convs over the patch axis,
-                # global average pool (`mm_prognosis.py:300-317`)
-                h = jnp.swapaxes(t, 1, 2)  # (b, patches, dim)
+                # patch bag: 1D convs over the patch axis, global average
+                # pool (`mm_prognosis.py:300-317`)
+                h = t if self.tokens_layout else jnp.swapaxes(t, 1, 2)
                 h = jax.nn.relu(
                     nn.Conv(512, kernel_size=(5,), strides=(2,), name=f"conv1_m{i}")(h)
                 )

@@ -98,6 +98,7 @@ class MOTCAT(nn.Module):
     ot_reg: float = 0.1
     ot_iters: int = 50
     ot_tau: Optional[float] = None  # set (e.g. 0.5) for unbalanced OT
+    tokens_layout: bool = False  # True: wsi input already (b, patches, dim)
 
     @nn.compact
     def __call__(
@@ -108,7 +109,11 @@ class MOTCAT(nn.Module):
         return_attention: bool = False,
     ):
         omic = tensors[0].reshape(tensors[0].shape[0], -1)
-        wsi = jnp.swapaxes(tensors[1], 1, 2)          # (b, patches, dim)
+        wsi = (
+            tensors[1]
+            if self.tokens_layout                     # already (b, patches, dim)
+            else jnp.swapaxes(tensors[1], 1, 2)
+        )
         if presence is not None:
             # zero-imputation missing-modality convention (the trainer's
             # ablation harness drives this; these nets have no native skip)

@@ -145,3 +145,55 @@ def gather_sharded(
         out_specs=P(b_axis, None, None),
         check_rep=False,
     )(arena.ext, offsets)
+
+
+def gather_bag(arena, offsets: jnp.ndarray, mask: jnp.ndarray, mesh=None):
+    """(b,) row offsets -> (b, width, dim) zero-masked bag windows.
+
+    The ONE definition of the on-device bag gather, shared by the trainer
+    (`train/loop.py` arena mode) and the serving Predictor's arena path so
+    the out-of-bag-row contract cannot drift between them. Handles every
+    arena flavour:
+
+    - plain array (replicated) -> ``vmap(dynamic_slice)``;
+    - :class:`ShardedArena` -> :func:`gather_sharded` over ``mesh``;
+    - ``QuantizedContext`` (`ops/quantize.py`) of either -> gathers int8
+      values + f32 scales, zeroing out-of-bag rows via the width-sized SCALE
+      (a zero-scale row dequantizes to exactly zero).
+
+    ``mask`` is the (b, width) KV mask whose static trailing dim fixes the
+    gather width; fp windows multiply by it so bag models that pool tokens
+    unmasked (MCAT's bag net, MultiModN's PatchEncoder) see the host path's
+    zero padding.
+    """
+    from healnet_tpu.ops.quantize import QuantizedContext
+
+    width = mask.shape[1]
+    offs = offsets.astype(jnp.int32)
+
+    if isinstance(arena, QuantizedContext):
+        if isinstance(arena.data, ShardedArena):
+            q = gather_sharded(arena.data, offs, width, mesh)
+            s = gather_sharded(arena.scale, offs, width, mesh)[..., 0]
+        else:
+            dim = arena.data.shape[1]
+
+            def slice_q(off):
+                return (
+                    jax.lax.dynamic_slice(arena.data, (off, 0), (width, dim)),
+                    jax.lax.dynamic_slice(arena.scale, (off,), (width,)),
+                )
+
+            q, s = jax.vmap(slice_q)(offs)
+        return QuantizedContext(q, s * mask.astype(s.dtype))
+
+    if isinstance(arena, ShardedArena):
+        slide = gather_sharded(arena, offs, width, mesh)
+    else:
+        dim = arena.shape[1]
+
+        def slice_one(off):
+            return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
+
+        slide = jax.vmap(slice_one)(offs)
+    return slide * mask[..., None].astype(slide.dtype)

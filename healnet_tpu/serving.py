@@ -73,9 +73,22 @@ class Predictor:
         self._arena = (
             None if feature_arena is None else jax.device_put(feature_arena)
         )
+        # per-modality trailing shapes observed on non-None tensors — lets
+        # _materialize zero-fill a missing modality for modules that do not
+        # declare channel_dims (the bag baselines)
+        self._mod_shapes: Dict[int, tuple] = {}
+        # bag baselines (MCAT, MultiModN, MMPrognosis) take no kv_masks —
+        # they pool the zero-padded tokens; same gating as the trainer
+        from healnet_tpu.utils.train_utils import accepts_kv_masks
+
+        self._accepts_kv_masks = accepts_kv_masks(module)
+        accepts_kv = self._accepts_kv_masks
 
         def predict(params, tensors, presence, kv_masks):
-            kwargs = {} if kv_masks is None else {"kv_masks": kv_masks}
+            kwargs = (
+                {} if (kv_masks is None or not accepts_kv)
+                else {"kv_masks": kv_masks}
+            )
             logits = module.apply(
                 {"params": params}, tensors, presence=presence,
                 deterministic=True, **kwargs,
@@ -91,33 +104,12 @@ class Predictor:
         self._predict = jax.jit(predict)
 
         def predict_arena(params, tensors, presence, kv_masks, arena, offsets):
-            # on-device bag gather, identical to the trainer's arena path
-            # (`train/loop.py` _gather_arena): width static per bucket
-            from healnet_tpu.ops.quantize import QuantizedContext
+            # the trainer's on-device bag gather, SHARED code path
+            # (`parallel/arena.py` gather_bag) so the out-of-bag-row
+            # contract cannot drift between training and serving
+            from healnet_tpu.parallel.arena import gather_bag
 
-            width = kv_masks[-1].shape[1]
-            offs = offsets.astype(jnp.int32)
-            if isinstance(arena, QuantizedContext):
-                # int8 arena (`data.quantize_arena`): gather values + scales;
-                # out-of-bag rows zero via the width-sized SCALE
-                dim = arena.data.shape[1]
-
-                def slice_q(off):
-                    return (
-                        jax.lax.dynamic_slice(arena.data, (off, 0), (width, dim)),
-                        jax.lax.dynamic_slice(arena.scale, (off,), (width,)),
-                    )
-
-                q, s = jax.vmap(slice_q)(offs)
-                slide = QuantizedContext(q, s * kv_masks[-1].astype(s.dtype))
-            else:
-                dim = arena.shape[1]
-
-                def slice_one(off):
-                    return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
-
-                slide = jax.vmap(slice_one)(offs)
-                slide = slide * kv_masks[-1][..., None].astype(slide.dtype)
+            slide = gather_bag(arena, offsets, kv_masks[-1])
             full = tuple(tensors) + (slide,)
             return predict(params, full, presence, kv_masks)
 
@@ -165,21 +157,12 @@ class Predictor:
             }
 
         # materialise missing modalities as zeros + presence mask
-        full = []
         pres = (
             np.ones((n, n_mod), np.float32)
             if presence is None
             else np.asarray(presence, np.float32).copy()
         )
-        shapes = getattr(self.module, "num_spatial_axes", None)
-        for i, t in enumerate(tensors):
-            if t is None:
-                pres[:, i] = 0.0
-                axes = shapes[i] if shapes is not None else 1
-                chan = self.module.channel_dims[i]
-                full.append(np.zeros((n,) + (1,) * axes + (chan,), np.float32))
-            else:
-                full.append(np.asarray(t, np.float32))
+        full = self._materialize(tensors, n, pres)
 
         masks = (
             [None] * n_mod
@@ -187,6 +170,38 @@ class Predictor:
             else [None if m is None else np.asarray(m, bool) for m in kv_masks]
         )
         return self._microbatched(n, full, pres, masks, kv_masks is None)
+
+    def _materialize(self, tensors, n: int, pres: np.ndarray) -> List[np.ndarray]:
+        """None entries (missing modalities) -> zero-filled arrays, with the
+        matching presence column zeroed — the documented ``__call__``
+        contract, shared by the ragged/arena entry points (``np.asarray(None)``
+        would otherwise produce a 0-d NaN)."""
+        shapes = getattr(self.module, "num_spatial_axes", None)
+        chans = getattr(self.module, "channel_dims", None)
+        full = []
+        for i, t in enumerate(tensors):
+            if t is None:
+                pres[:, i] = 0.0
+                if chans is not None:
+                    axes = shapes[i] if shapes is not None else 1
+                    tail = (1,) * axes + (int(chans[i]),)
+                elif i in self._mod_shapes:
+                    # bag baselines declare no channel_dims: reuse the
+                    # trailing shape seen on an earlier request
+                    tail = self._mod_shapes[i]
+                else:
+                    raise ValueError(
+                        f"modality {i} is None but its shape is unknown: the "
+                        "module declares no channel_dims and no prior request "
+                        "carried this modality — pass explicit zeros with a "
+                        "presence mask instead"
+                    )
+                full.append(np.zeros((n,) + tail, np.float32))
+            else:
+                arr = np.asarray(t, np.float32)
+                self._mod_shapes[i] = arr.shape[1:]
+                full.append(arr)
+        return full
 
     # ---------------------------------------------------------- WSI serving
     def _bucket_width(self, length: int) -> int:
@@ -214,12 +229,12 @@ class Predictor:
         """
         bags = list(tensors[-1])
         n = len(bags)
-        lead = [np.asarray(t, np.float32) for t in tensors[:-1]]
         pres = (
             np.ones((n, len(tensors)), np.float32)
             if presence is None
             else np.asarray(presence, np.float32).copy()
         )
+        lead = self._materialize(tensors[:-1], n, pres)
         dim = next(
             (np.asarray(b).shape[-1] for b in bags if b is not None), None
         )
@@ -272,13 +287,13 @@ class Predictor:
         offsets = np.asarray(patch_offsets, np.int32)
         lengths = np.asarray(patch_lengths, np.int32)
         n = offsets.shape[0]
-        lead = [np.asarray(t, np.float32) for t in tensors]
-        n_mod = len(lead) + 1
+        n_mod = len(tensors) + 1
         pres = (
             np.ones((n, n_mod), np.float32)
             if presence is None
             else np.asarray(presence, np.float32).copy()
         )
+        lead = self._materialize(list(tensors), n, pres)
 
         groups: Dict[int, List[int]] = {}
         for i, ln in enumerate(lengths):

@@ -141,7 +141,12 @@ class SurvivalTrainer:
         arena_sharded: bool = False,
         arena_halo: Optional[int] = None,
         arena_quant: bool = False,
+        arena_device: Optional[Any] = None,
     ):
+        # arena_device: a pre-built device-resident arena (replicated array,
+        # ShardedArena, or QuantizedContext of either) — the Pipeline builds
+        # the sharded shards ONCE per run and hands every fold's trainer the
+        # same object, instead of re-packing + re-uploading per fold.
         # arena_sharded (mesh mode only): shard the feature arena's rows over
         # the mesh's `seq` axis instead of replicating it per chip — cohorts
         # up to ~seq x one chip's HBM (parallel/arena.py). Bit-equal to the
@@ -198,14 +203,9 @@ class SurvivalTrainer:
         # bag models (MCAT's bag net, MultiModN's PatchEncoder) pool the
         # zero-padded gathered tokens without masks — only pass kv_masks to
         # modules whose __call__ takes them (HealNet family)
-        import inspect
+        from healnet_tpu.utils.train_utils import accepts_kv_masks
 
-        try:
-            self._accepts_kv_masks = "kv_masks" in inspect.signature(
-                type(module).__call__
-            ).parameters
-        except (TypeError, ValueError):
-            self._accepts_kv_masks = True
+        self._accepts_kv_masks = accepts_kv_masks(module)
         self.n_bins = n_bins
         self.checkpoint_dir = checkpoint_dir
         self.resume = resume
@@ -228,7 +228,7 @@ class SurvivalTrainer:
         if feature_arena is not None and not isinstance(feature_arena, (tuple, list)):
             feature_arena = (feature_arena, None, None)
         self._arena_host = None if feature_arena is None else feature_arena[0]
-        self._arena = None  # device-resident copy, placed lazily
+        self._arena = arena_device  # pre-built, or placed lazily when None
         from healnet_tpu.ops.quantize import QuantizedContext
 
         self.arena_quant = bool(arena_quant) or isinstance(
@@ -451,50 +451,20 @@ class SurvivalTrainer:
         ``width`` is static (the KV mask's trailing dim = the bucket
         boundary), so each bucket keeps exactly one compiled program; the
         arena's trailing zero-pad rows make every fixed-width window
-        in-bounds, and out-of-bag rows are masked by the KV mask.
+        in-bounds. Out-of-bag rows are zeroed (attention KV-masks them
+        anyway, but models that pool all tokens unmasked — MultiModN's
+        PatchEncoder, MCAT's bag net — need the host path's zero padding).
+        The gather itself is :func:`healnet_tpu.parallel.arena.gather_bag`,
+        shared with the serving Predictor's arena path.
         """
-        from healnet_tpu.ops.quantize import QuantizedContext
-        from healnet_tpu.parallel.arena import ShardedArena, gather_sharded
+        from healnet_tpu.parallel.arena import gather_bag
 
-        width = batch["kv_masks"][-1].shape[1]
-        mask = batch["kv_masks"][-1]
-        offs = batch["patch_offsets"].astype(jnp.int32)
-
-        if isinstance(arena, QuantizedContext):
-            # quantized arena: gather int8 values + f32 scales; out-of-bag
-            # rows zero via the SCALE (width-sized — the dequantized value
-            # of a zero-scale row is exactly zero)
-            if isinstance(arena.data, ShardedArena):
-                q = gather_sharded(arena.data, offs, width, self.mesh)
-                s = gather_sharded(arena.scale, offs, width, self.mesh)[..., 0]
-            else:
-                dim = arena.data.shape[1]
-
-                def slice_q(off):
-                    return (
-                        jax.lax.dynamic_slice(arena.data, (off, 0), (width, dim)),
-                        jax.lax.dynamic_slice(arena.scale, (off,), (width,)),
-                    )
-
-                q, s = jax.vmap(slice_q)(offs)
-            slide = QuantizedContext(q, s * mask.astype(s.dtype))
-            return tuple(batch["tensors"]) + (slide,)
-
-        if isinstance(arena, ShardedArena):
-            slide = gather_sharded(arena, offs, width, self.mesh)
-        else:
-            dim = arena.shape[1]
-
-            def slice_one(off):
-                return jax.lax.dynamic_slice(arena, (off, 0), (width, dim))
-
-            slide = jax.vmap(slice_one)(offs)
-        # zero out-of-bag rows: a fixed-width window past a short bag reads
-        # the NEXT slide's rows. Attention KV-masks them anyway, but models
-        # that pool all tokens unmasked (MultiModN's PatchEncoder, MCAT's
-        # bag net) need the host path's zero padding — and the multiply
-        # fuses into the gather copy, so it is effectively free.
-        slide = slide * mask[..., None].astype(slide.dtype)
+        slide = gather_bag(
+            arena,
+            batch["patch_offsets"],
+            batch["kv_masks"][-1],
+            mesh=self.mesh,
+        )
         return tuple(batch["tensors"]) + (slide,)
 
     def _forward(self, params, batch, deterministic, rng=None, arena=None):
@@ -931,6 +901,9 @@ class SurvivalTrainer:
                 # gradient/parameter observability (reference wandb.watch,
                 # `main.py:135`): epoch-final grad norms from the compiled
                 # step + per-module param norms — one host readback per epoch
+                # same step key as the metrics log above — a stepless wandb
+                # log here would advance wandb's internal step past the epoch
+                # index and misalign every later epoch row
                 self.tracker.watch(
                     params=jax.device_get(self.params),
                     grad_stats=(
@@ -938,6 +911,7 @@ class SurvivalTrainer:
                         if last_gstats is None
                         else jax.device_get(last_gstats)
                     ),
+                    step=epoch if fold == 1 else None,
                     prefix=f"fold_{fold}_",
                 )
             if ckpt is not None:

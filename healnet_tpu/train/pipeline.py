@@ -95,6 +95,8 @@ class Pipeline:
         # across all folds
         self._dataset = None
         self._arena_device = None
+        self._arena_sharded_key = None
+        self._arena_sharded_device = None
         self._trainer = None
 
     def _check_config(self) -> None:
@@ -133,6 +135,8 @@ class Pipeline:
             ):
                 self._dataset = None
                 self._arena_device = None
+                self._arena_sharded_key = None
+                self._arena_sharded_device = None
 
         fold_metrics: Dict[str, List[float]] = {
             "train_c_index": [], "val_c_index": [], "test_c_index": [],
@@ -317,18 +321,24 @@ class Pipeline:
                 ],
             )
 
+        # patch_attention feeds bags as (b, patches, dim) tokens (the
+        # TPU-native / arena layout); the reference-parity default is the
+        # transposed (b, dim, patches). The bag baselines must be told which
+        # they are getting, or their FC stacks run over the wrong axis.
+        tokens = bool(self.config.get("patch_attention", False))
+
         if model_name == "mm_prognosis":
-            return MMPrognosis(output_dims=self.output_dims)
+            return MMPrognosis(output_dims=self.output_dims, tokens_layout=tokens)
 
         if model_name == "motcat":
-            return MOTCAT(n_classes=self.output_dims)
+            return MOTCAT(n_classes=self.output_dims, tokens_layout=tokens)
 
         if model_name == "mcat":
             if len(self.sources) == 2:
-                return MCAT(n_classes=self.output_dims)
+                return MCAT(n_classes=self.output_dims, tokens_layout=tokens)
             if self.sources[0] == "omic":
                 return SNN(n_classes=self.output_dims)
-            return MILAttentionNet(n_classes=self.output_dims)
+            return MILAttentionNet(n_classes=self.output_dims, tokens_layout=tokens)
 
         raise ValueError(f"unknown model {model_name}")
 
@@ -360,6 +370,7 @@ class Pipeline:
         # indices (k-fold views share the parent dataset's single arena)
         feature_arena = None
         arena_sharded = False
+        arena_device = None  # pre-built device arena (sharded mode)
         parent = getattr(train_view, "parent", train_view)
         if getattr(parent, "device_cache", False):
             from healnet_tpu.ops.quantize import (
@@ -394,6 +405,51 @@ class Pipeline:
                 mesh is not None
             )
             if arena_sharded:
+                # build the halo'd device shards ONCE per run (and reuse
+                # across sweep trials via _DATASET_CACHE) — rebuilding the
+                # multi-GB pack + HBM upload inside every fold's trainer
+                # would multiply host churn and upload time by n_folds
+                boundaries = self._resolve_buckets(parent)
+                halo = (
+                    int(max(boundaries)) if boundaries
+                    else int(np.max(lengths))
+                )
+                skey = (
+                    self._dataset_cache_key(),
+                    tuple(sorted(dict(mesh.shape).items())),
+                    halo,
+                    isinstance(arena, QuantizedContext),
+                )
+                if getattr(self, "_arena_sharded_key", None) == skey:
+                    arena_device = self._arena_sharded_device
+                elif _DATASET_CACHE.get("arena_sharded_key") == skey:
+                    arena_device = _DATASET_CACHE["arena_sharded"]
+                else:
+                    from healnet_tpu.parallel.arena import build_sharded_arena
+
+                    if isinstance(arena, QuantizedContext):
+                        # scales shard identically as a dim-1 column so the
+                        # same halo'd gather applies to values and scales
+                        arena_device = QuantizedContext(
+                            build_sharded_arena(
+                                np.asarray(arena.data), mesh, halo=halo
+                            ),
+                            build_sharded_arena(
+                                np.asarray(arena.scale)[:, None], mesh,
+                                halo=halo,
+                            ),
+                        )
+                    else:
+                        arena_device = build_sharded_arena(
+                            np.asarray(arena), mesh, halo=halo
+                        )
+                self._arena_sharded_key = skey
+                self._arena_sharded_device = arena_device
+                if _DATASET_CACHE["dataset"] is parent:
+                    _DATASET_CACHE["arena_sharded_key"] = skey
+                    _DATASET_CACHE["arena_sharded"] = arena_device
+                # the HOST pack still rides in feature_arena[0]: init-time
+                # shape inference slices it (`loop.init_params`)
                 feature_arena = (
                     arena if isinstance(arena, QuantizedContext)
                     else np.asarray(arena),
@@ -450,6 +506,7 @@ class Pipeline:
             feature_arena=feature_arena,
             fused_epochs=bool(self.config.get("train_loop.fused_epochs", False)),
             arena_sharded=arena_sharded,
+            arena_device=arena_device,
         )
         return self._trainer
 

@@ -54,19 +54,16 @@ def onecycle_beta1(
     total_steps = max(int(total_steps), int(np.ceil(1.0 / pct_start)) + 1)
     warmup = max(int(pct_start * total_steps), 1)
 
+    # one curve definition: the step form is the continuous form evaluated at
+    # frac = step/T with the int-floored warmup boundary (torch's rounding)
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
-        up = step <= warmup
-        # cosine interpolation in each phase
-        t1 = jnp.clip(step / warmup, 0.0, 1.0)
-        t2 = jnp.clip((step - warmup) / jnp.maximum(total_steps - warmup, 1), 0.0, 1.0)
-        phase1 = max_momentum + (base_momentum - max_momentum) * 0.5 * (
-            1.0 - jnp.cos(jnp.pi * t1)
+        frac = jnp.asarray(step, jnp.float32) / float(total_steps)
+        return onecycle_beta1_at(
+            frac,
+            pct_start=warmup / total_steps,
+            max_momentum=max_momentum,
+            base_momentum=base_momentum,
         )
-        phase2 = base_momentum + (max_momentum - base_momentum) * 0.5 * (
-            1.0 - jnp.cos(jnp.pi * t2)
-        )
-        return jnp.where(up, phase1, phase2)
 
     return schedule
 
@@ -142,9 +139,14 @@ def progress_hyperparams(
 
     ``opt_state.count`` (the inject wrapper's own step counter, restored with
     checkpoints) supplies the step index; ``horizon`` is a traced scalar.
+    The same short-run floor as :func:`onecycle_lr` applies (horizons below
+    ``ceil(1/pct_start)+1`` would put step 1 past the warmup phase — the
+    step-based forms floor exactly this way, keeping the two trainer
+    generations in agreement on degenerate horizons).
     """
+    floor = float(int(np.ceil(1.0 / pct_start)) + 1)
     frac = opt_state.count.astype(jnp.float32) / jnp.maximum(
-        jnp.asarray(horizon, jnp.float32), 1.0
+        jnp.asarray(horizon, jnp.float32), floor
     )
     hyper = dict(opt_state.hyperparams)
     hyper["learning_rate"] = onecycle_lr_at(frac, max_lr, pct_start=pct_start)

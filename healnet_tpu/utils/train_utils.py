@@ -18,6 +18,23 @@ import jax
 import jax.numpy as jnp
 
 
+def accepts_kv_masks(module) -> bool:
+    """True when ``module.__call__`` takes a ``kv_masks`` kwarg.
+
+    HealNet-family modules mask ragged padded contexts; bag baselines
+    (MCAT's bag net, MultiModN's PatchEncoder) pool zero-padded gathered
+    tokens without masks — passing ``kv_masks`` to them is a TypeError.
+    Shared by the trainer and the serving Predictor so both gate the same
+    way.
+    """
+    import inspect
+
+    try:
+        return "kv_masks" in inspect.signature(type(module).__call__).parameters
+    except (TypeError, ValueError):
+        return True
+
+
 def l1_norm(params) -> jnp.ndarray:
     """Sum of absolute values over every leaf of a parameter pytree."""
     leaves = jax.tree_util.tree_leaves(params)

@@ -343,3 +343,46 @@ def test_baselines_honor_presence_masks(rng):
     out_full = snn.apply({"params": params}, (omic,), presence=jnp.ones((b, 1)))
     out_miss = snn.apply({"params": params}, (omic,), presence=jnp.zeros((b, 1)))
     assert not np.allclose(np.asarray(out_full), np.asarray(out_miss))
+
+
+def test_bag_baselines_tokens_layout_equivalence(rng):
+    """tokens_layout=True (the patch_attention / arena feed, (b, patches,
+    dim)) must be EXACTLY the channels-layout model on the transposed input
+    — same params, same logits. Without the flag the FC stacks would run
+    over the patch axis."""
+    import jax
+
+    from healnet_tpu.models.baselines import MCAT, MILAttentionNet, MOTCAT
+    from healnet_tpu.models.baselines.mm_prognosis import MMPrognosis
+
+    b, patches, dim = 2, 12, 16
+    omic = rng.normal(size=(b, 1, 40)).astype(np.float32)
+    bag_tokens = rng.normal(size=(b, patches, dim)).astype(np.float32)
+    bag_channels = np.swapaxes(bag_tokens, 1, 2)
+
+    cases = [
+        (MCAT(n_classes=4), MCAT(n_classes=4, tokens_layout=True), True),
+        (MOTCAT(n_classes=4), MOTCAT(n_classes=4, tokens_layout=True), True),
+        (
+            MILAttentionNet(n_classes=4),
+            MILAttentionNet(n_classes=4, tokens_layout=True),
+            False,
+        ),
+        (
+            MMPrognosis(output_dims=4),
+            MMPrognosis(output_dims=4, tokens_layout=True),
+            True,
+        ),
+    ]
+    for mod_ch, mod_tok, with_omic in cases:
+        t_ch = (omic, bag_channels) if with_omic else (bag_channels,)
+        t_tok = (omic, bag_tokens) if with_omic else (bag_tokens,)
+        params = mod_ch.init(jax.random.PRNGKey(0), t_ch)["params"]
+        out_ch = mod_ch.apply({"params": params}, t_ch, deterministic=True)
+        out_tok = mod_tok.apply({"params": params}, t_tok, deterministic=True)
+        if isinstance(out_ch, tuple):
+            out_ch, out_tok = out_ch[0], out_tok[0]
+        np.testing.assert_allclose(
+            np.asarray(out_tok), np.asarray(out_ch), rtol=1e-5, atol=1e-6,
+            err_msg=type(mod_ch).__name__,
+        )

@@ -615,3 +615,49 @@ def test_sweep_overrides_invalidate_cached_trainer(ragged_tcga_tree, tmp_path):
     tr2 = p._trainer
     assert tr2 is not None and tr2 is not tr1
     assert tr2.module.depth == 2
+
+
+def test_pipeline_shard_arena_spmd(ragged_tcga_tree, tmp_path):
+    """data.shard_arena through the Pipeline: the sharded gather matches the
+    replicated arena run, and the halo'd shards are built ONCE per run (every
+    fold's trainer receives the same device object — VERDICT-r3 review)."""
+    common = dict(
+        patch_attention=True, spmd=True, n_folds=2,
+        train_loop={"batch_size": 8, "epochs": 1, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1,
+                    "bucket_boundaries": [6]},
+    )
+    cfg = _config(ragged_tcga_tree, tmp_path, **common)
+    cfg["data"]["device_cache"] = True
+    cfg["data"]["cache_dataset"] = False
+    replicated = Pipeline(config=cfg).main()
+
+    cfg2 = _config(ragged_tcga_tree, tmp_path, **common)
+    cfg2["data"]["device_cache"] = True
+    cfg2["data"]["shard_arena"] = True
+    cfg2["data"]["cache_dataset"] = False
+    pipe = Pipeline(config=cfg2)
+
+    from healnet_tpu.parallel.arena import ShardedArena, build_sharded_arena
+
+    calls = {"n": 0}
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return build_sharded_arena(*a, **kw)
+
+    import healnet_tpu.parallel.arena as arena_mod
+    orig = arena_mod.build_sharded_arena
+    arena_mod.build_sharded_arena = counted
+    try:
+        sharded = pipe.main()
+    finally:
+        arena_mod.build_sharded_arena = orig
+
+    assert calls["n"] == 1, f"arena shards built {calls['n']}x (want once per run)"
+    assert isinstance(pipe._arena_sharded_device, ShardedArena)
+    trainer_arena = pipe._trainer._device_arena()
+    assert trainer_arena is pipe._arena_sharded_device
+    for key in ("mean_train_c_index",):
+        np.testing.assert_allclose(sharded[key], replicated[key], rtol=1e-5,
+                                   err_msg=key)

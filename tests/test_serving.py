@@ -226,3 +226,94 @@ def test_predict_from_quantized_arena(module_and_params, rng):
         out_q["logits"], out_fp["logits"], rtol=5e-3, atol=5e-3
     )
     np.testing.assert_allclose(out_q["risk"], out_fp["risk"], rtol=5e-3, atol=5e-3)
+
+
+def test_serving_module_without_kv_masks_kwarg(rng):
+    """Bag modules whose __call__ takes no kv_masks (the MCAT/MultiModN
+    convention — they pool zero-padded tokens unmasked) must serve through
+    the ragged AND arena paths: the Predictor gates kv_masks exactly like
+    the trainer instead of crashing with a TypeError."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    class BagPool(nn.Module):
+        out_dims: int = 4
+
+        @nn.compact
+        def __call__(self, tensors, presence=None, deterministic=True):
+            omic = tensors[0].reshape((tensors[0].shape[0], -1))
+            bag = jnp.mean(tensors[1], axis=1)  # pools zero-padded tokens
+            return nn.Dense(self.out_dims)(jnp.concatenate([omic, bag], -1))
+
+    module = BagPool()
+    n, dim = 5, 6
+    lengths = np.asarray([3, 8, 5, 12, 2], np.int32)
+    offsets, rows, cursor = np.zeros(n, np.int32), [], 0
+    for i, l in enumerate(lengths):
+        offsets[i] = cursor
+        rows.append(rng.normal(size=(l, dim)).astype(np.float32))
+        cursor += l
+    arena = np.concatenate(rows + [np.zeros((16, dim), np.float32)])
+    omic = rng.normal(size=(n, 1, 12)).astype(np.float32)
+    params = module.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((2, 1, 12), np.float32), np.zeros((2, 8, dim), np.float32)),
+    )["params"]
+
+    predictor = Predictor(
+        module, params, batch_size=4, bucket_boundaries=[8, 16],
+        feature_arena=arena,
+    )
+    bags = [arena[o : o + l] for o, l in zip(offsets, lengths)]
+    ragged = predictor.predict_ragged([omic, bags])
+    from_arena = predictor.predict_from_arena([omic], offsets, lengths)
+    assert ragged["logits"].shape == (n, 4)
+    np.testing.assert_allclose(
+        from_arena["logits"], ragged["logits"], rtol=1e-5, atol=1e-6
+    )
+
+    # None omic with a bag module (no channel_dims declared): the shape seen
+    # on the request above is reused; equals the explicit zero-fill form
+    miss = predictor.predict_ragged([None, bags])
+    ref = predictor.predict_ragged(
+        [np.zeros_like(omic), bags],
+        presence=np.tile([[0.0, 1.0]], (n, 1)),
+    )
+    np.testing.assert_allclose(miss["logits"], ref["logits"], rtol=1e-5, atol=1e-6)
+
+    # a FRESH predictor has never seen the modality: descriptive error, not
+    # an AttributeError from flax
+    fresh = Predictor(
+        module, params, batch_size=4, bucket_boundaries=[8, 16],
+        feature_arena=arena,
+    )
+    with pytest.raises(ValueError, match="presence mask"):
+        fresh.predict_ragged([None, bags])
+
+
+def test_ragged_and_arena_accept_missing_lead_modality(module_and_params, rng):
+    """None lead modalities follow __call__'s documented contract (zero-fill
+    + presence column 0) in predict_ragged/predict_from_arena too — they
+    previously hit np.asarray(None) -> 0-d NaN."""
+    module, params = module_and_params
+    n, dim = 3, 6
+    lengths = np.asarray([4, 8, 2], np.int32)
+    offsets = np.asarray([0, 4, 12], np.int32)
+    arena = np.concatenate(
+        [rng.normal(size=(14, dim)).astype(np.float32), np.zeros((8, dim), np.float32)]
+    )
+    predictor = Predictor(
+        module, params, batch_size=2, bucket_boundaries=[8],
+        feature_arena=arena,
+    )
+    bags = [arena[o : o + l] for o, l in zip(offsets, lengths)]
+
+    out_r = predictor.predict_ragged([None, bags])
+    out_a = predictor.predict_from_arena([None], offsets, lengths)
+    np.testing.assert_allclose(out_a["logits"], out_r["logits"], rtol=1e-5, atol=1e-6)
+
+    # equals the explicit zero-tensor + presence form
+    zeros = np.zeros((n, 1, 12), np.float32)
+    presence = np.tile([[0.0, 1.0]], (n, 1))
+    ref = predictor.predict_ragged([zeros, bags], presence=presence)
+    np.testing.assert_allclose(out_r["logits"], ref["logits"], rtol=1e-5, atol=1e-6)

@@ -553,3 +553,27 @@ def test_tracker_watch_logs_grad_and_param_norms(tmp_path):
     # the global grad norm is positive (training actually produced gradients)
     gvals = [r["fold_1_grad_norm/global"] for r in records if "fold_1_grad_norm/global" in r]
     assert max(gvals) > 0
+
+
+def test_progress_schedule_short_horizon_floor():
+    """Degenerate horizons floor exactly like the step-based forms
+    (total_steps -> ceil(1/pct_start)+1): step 1 of a 2-step run stays in
+    the warmup phase instead of jumping deep into annealing."""
+    import jax.numpy as jnp
+
+    from healnet_tpu.train.schedule import (
+        make_progress_optimizer,
+        onecycle_lr_at,
+        progress_hyperparams,
+    )
+
+    opt = make_progress_optimizer()
+    params = {"w": jnp.zeros(3)}
+    state = opt.init(params)
+    state = state._replace(count=jnp.asarray(1))
+    state = progress_hyperparams(state, jnp.float32(2.0), 8e-3)
+    lr = float(state.hyperparams["learning_rate"])
+    # flooring maps step 1 to frac 1/5 — mid-WARMUP (without the floor it
+    # would evaluate at frac 0.5, already in the annealing phase)
+    assert abs(lr - float(onecycle_lr_at(jnp.float32(1 / 5), 8e-3))) < 1e-9
+    assert 8e-3 / 25.0 < lr < 8e-3  # strictly inside the warmup ramp
