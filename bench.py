@@ -78,8 +78,10 @@ def bench_jax(quantized: bool = False) -> float:
         latent_dim_head=20,
         self_per_cross_attn=0,
         snn=True,
-        attn_dropout=0.083,           # the TUNED training config incl. dropout
-        ff_dropout=0.473,             # (best_hyperparams.yml:20-21) — VERDICT
+        attn_dropout=0.083,           # tuned-range dropout rates, ACTIVE in the
+        ff_dropout=0.473,             # measurement (best_hyperparams.yml blca
+                                      # block lines 20-21; brca's own are
+                                      # 0.455/0.365 — see BENCH_NOTES)
         dtype=jnp.bfloat16,           # r2 weak #1: the honest number. bf16
         attention_impl="auto",        # compute; flash/auto survives dropout
     )
