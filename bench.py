@@ -46,8 +46,8 @@ def _batch(rng):
     }
 
 
-def bench_jax(quantized: bool = False) -> float:
-    """Training-step throughput on the tuned BRCA config.
+def bench_jax(quantized: bool = False) -> "tuple[float, float]":
+    """(training-step throughput, relay-probe ms) on the tuned BRCA config.
 
     quantized=True feeds the WSI bag as an int8 QuantizedContext
     (`data.quantize_arena` training: half the context bytes per step) —

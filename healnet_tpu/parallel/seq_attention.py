@@ -106,8 +106,8 @@ def sequence_parallel_attention(
         if sizes.get(AXIS_MODEL, 1) > 1 and q.shape[1] % sizes[AXIS_MODEL] == 0
         else None
     )
-    _b_sharded = (b_axis is not None and sizes.get(AXIS_DATA, 1) > 1,)
-    _h_sharded = (h_axis is not None,)
+    _b_sharded = b_axis is not None and sizes.get(AXIS_DATA, 1) > 1
+    _h_sharded = h_axis is not None
 
     def local_fn(q, k, v, kv_mask, seed):
         drop = None
@@ -117,8 +117,8 @@ def sequence_parallel_attention(
             shape = (bl, hl, lq, lkv_l)
             # global coordinates: local iota + this shard's axis offsets
             u32 = lambda x: jnp.asarray(x).astype(jnp.uint32)
-            b0 = u32(jax.lax.axis_index(AXIS_DATA) * bl) if _b_sharded[0] else jnp.uint32(0)
-            h0 = u32(jax.lax.axis_index(AXIS_MODEL) * hl) if _h_sharded[0] else jnp.uint32(0)
+            b0 = u32(jax.lax.axis_index(AXIS_DATA) * bl) if _b_sharded else jnp.uint32(0)
+            h0 = u32(jax.lax.axis_index(AXIS_MODEL) * hl) if _h_sharded else jnp.uint32(0)
             kv0 = u32(jax.lax.axis_index(axis) * lkv_l)
             bid = b0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
             hid = h0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)

@@ -43,6 +43,7 @@ class Predictor:
         compute_dtype: Any = None,
         bucket_boundaries: Optional[Sequence[int]] = None,
         feature_arena: Optional[Any] = None,  # np.ndarray | QuantizedContext
+        mod_shapes: Optional[Dict[int, Sequence[int]]] = None,
     ):
         """
         Args:
@@ -58,6 +59,12 @@ class Predictor:
                 arena-mode prediction (``patch_offsets``/``patch_lengths``
                 instead of the slide feature tensor; zero per-request feature
                 upload). Uploaded to HBM once.
+            mod_shapes: per-modality trailing shapes, e.g.
+                ``{1: (512, 2048)}`` — required to zero-fill a ``None``
+                (missing) modality when the module declares no
+                ``channel_dims`` (the bag baselines). Declared up front so
+                identical requests behave identically regardless of what
+                was served before.
         """
         self.module = module
         if isinstance(params, (str, Path)):
@@ -73,10 +80,15 @@ class Predictor:
         self._arena = (
             None if feature_arena is None else jax.device_put(feature_arena)
         )
-        # per-modality trailing shapes observed on non-None tensors — lets
-        # _materialize zero-fill a missing modality for modules that do not
-        # declare channel_dims (the bag baselines)
-        self._mod_shapes: Dict[int, tuple] = {}
+        # declared per-modality trailing shapes — lets _materialize
+        # zero-fill a missing modality for modules that do not declare
+        # channel_dims (the bag baselines). Construction-time only: learning
+        # shapes from request history would make identical requests behave
+        # differently over the server's lifetime
+        self._mod_shapes: Dict[int, tuple] = (
+            {} if mod_shapes is None
+            else {int(k): tuple(int(d) for d in v) for k, v in mod_shapes.items()}
+        )
         # bag baselines (MCAT, MultiModN, MMPrognosis) take no kv_masks —
         # they pool the zero-padded tokens; same gating as the trainer
         from healnet_tpu.utils.train_utils import accepts_kv_masks
@@ -186,21 +198,19 @@ class Predictor:
                     axes = shapes[i] if shapes is not None else 1
                     tail = (1,) * axes + (int(chans[i]),)
                 elif i in self._mod_shapes:
-                    # bag baselines declare no channel_dims: reuse the
-                    # trailing shape seen on an earlier request
+                    # bag baselines declare no channel_dims: use the shape
+                    # declared at construction (mod_shapes)
                     tail = self._mod_shapes[i]
                 else:
                     raise ValueError(
                         f"modality {i} is None but its shape is unknown: the "
-                        "module declares no channel_dims and no prior request "
-                        "carried this modality — pass explicit zeros with a "
-                        "presence mask instead"
+                        "module declares no channel_dims — declare it via "
+                        "Predictor(mod_shapes={...}) or pass explicit zeros "
+                        "with a presence mask instead"
                     )
                 full.append(np.zeros((n,) + tail, np.float32))
             else:
-                arr = np.asarray(t, np.float32)
-                self._mod_shapes[i] = arr.shape[1:]
-                full.append(arr)
+                full.append(np.asarray(t, np.float32))
         return full
 
     # ---------------------------------------------------------- WSI serving

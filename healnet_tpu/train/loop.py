@@ -658,19 +658,37 @@ class SurvivalTrainer:
             from healnet_tpu.ops.quantize import QuantizedContext
 
             width = batch["kv_masks"][-1].shape[1]
+            if (
+                self.arena_sharded
+                and self._arena is None
+                and (self.arena_halo is None or width > self.arena_halo)
+            ):
+                # direct-trainer hole: without bucket boundaries the batch
+                # builder pads every gather to max_patches, which the halo
+                # candidates (boundaries + bag lengths) may undershoot —
+                # widen before the halo'd shards are built
+                self.arena_halo = int(width)
             host = self._arena_host
             if isinstance(host, QuantizedContext):
-                # init only infers shapes; the fp window is fine (and the
-                # params are identical either way)
-                host = np.asarray(host.data, np.float32) * np.asarray(
-                    host.scale, np.float32
-                )[..., None]
-            slide = np.stack(
-                [
-                    np.asarray(host[off : off + width])
-                    for off in batch["patch_offsets"]
-                ]
-            )
+                # init only infers shapes; dequantize just the sliced
+                # windows — a full-arena dequant would transiently
+                # materialize rows x dim f32 on host (multi-GB at WSI scale)
+                slide = np.stack(
+                    [
+                        np.asarray(host.data[off : off + width], np.float32)
+                        * np.asarray(
+                            host.scale[off : off + width], np.float32
+                        )[:, None]
+                        for off in batch["patch_offsets"]
+                    ]
+                )
+            else:
+                slide = np.stack(
+                    [
+                        np.asarray(host[off : off + width])
+                        for off in batch["patch_offsets"]
+                    ]
+                )
             slide = slide * np.asarray(batch["kv_masks"][-1])[..., None].astype(
                 slide.dtype
             )

@@ -410,10 +410,14 @@ class Pipeline:
                 # multi-GB pack + HBM upload inside every fold's trainer
                 # would multiply host churn and upload time by n_folds
                 boundaries = self._resolve_buckets(parent)
-                halo = (
-                    int(max(boundaries)) if boundaries
-                    else int(np.max(lengths))
-                )
+                # the halo must cover every gather width the batch builder
+                # can emit: bucket boundaries when bucketed, max_patches when
+                # not (etl/tcga.py _build_batch pads KV masks to max_patches)
+                halo_cands = [int(b) for b in (boundaries or [])]
+                if getattr(parent, "max_patches", None):
+                    halo_cands.append(int(parent.max_patches))
+                halo_cands.append(int(np.max(lengths)))
+                halo = max(halo_cands)
                 skey = (
                     self._dataset_cache_key(),
                     tuple(sorted(dict(mesh.shape).items())),

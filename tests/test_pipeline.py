@@ -661,3 +661,22 @@ def test_pipeline_shard_arena_spmd(ragged_tcga_tree, tmp_path):
     for key in ("mean_train_c_index",):
         np.testing.assert_allclose(sharded[key], replicated[key], rtol=1e-5,
                                    err_msg=key)
+
+
+def test_pipeline_shard_arena_unbucketed_generous_cap(ragged_tcga_tree, tmp_path):
+    """shard_arena WITHOUT bucket_boundaries: every batch's gather width is
+    data.max_patches (etl _build_batch), so the halo default must cover it —
+    not just the longest bag (round-3 review finding; a generous cap used to
+    raise 'gather width exceeds the arena halo' on the first step)."""
+    cfg = _config(
+        ragged_tcga_tree, tmp_path,
+        patch_attention=True, spmd=True, n_folds=1,
+        train_loop={"batch_size": 8, "epochs": 1, "early_stopping": False,
+                    "patience": 5, "gc_compat": 1},
+    )
+    cfg["data"]["device_cache"] = True
+    cfg["data"]["shard_arena"] = True
+    cfg["data"]["cache_dataset"] = False
+    cfg["data"]["max_patches"] = 9  # generous cap > longest ragged bag (6)
+    out = Pipeline(config=cfg).main()
+    assert np.isfinite(out["mean_train_c_index"])

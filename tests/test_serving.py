@@ -272,23 +272,24 @@ def test_serving_module_without_kv_masks_kwarg(rng):
         from_arena["logits"], ragged["logits"], rtol=1e-5, atol=1e-6
     )
 
-    # None omic with a bag module (no channel_dims declared): the shape seen
-    # on the request above is reused; equals the explicit zero-fill form
-    miss = predictor.predict_ragged([None, bags])
-    ref = predictor.predict_ragged(
+    # None omic with a bag module (no channel_dims declared): the trailing
+    # shape is declared at construction (mod_shapes), so identical requests
+    # behave identically regardless of what was served before
+    declared = Predictor(
+        module, params, batch_size=4, bucket_boundaries=[8, 16],
+        feature_arena=arena, mod_shapes={0: (1, 12)},
+    )
+    miss = declared.predict_ragged([None, bags])
+    ref = declared.predict_ragged(
         [np.zeros_like(omic), bags],
         presence=np.tile([[0.0, 1.0]], (n, 1)),
     )
     np.testing.assert_allclose(miss["logits"], ref["logits"], rtol=1e-5, atol=1e-6)
 
-    # a FRESH predictor has never seen the modality: descriptive error, not
-    # an AttributeError from flax
-    fresh = Predictor(
-        module, params, batch_size=4, bucket_boundaries=[8, 16],
-        feature_arena=arena,
-    )
-    with pytest.raises(ValueError, match="presence mask"):
-        fresh.predict_ragged([None, bags])
+    # without the declaration: descriptive error, not an AttributeError —
+    # the SAME error whether or not earlier requests carried the modality
+    with pytest.raises(ValueError, match="mod_shapes"):
+        predictor.predict_ragged([None, bags])
 
 
 def test_ragged_and_arena_accept_missing_lead_modality(module_and_params, rng):
