@@ -338,3 +338,54 @@ def _module2mod():
         latent_dim_head=8,
         self_per_cross_attn=0,
     )
+
+
+def test_sharded_arena_halo_widens_to_batch_width():
+    """arena_halo=None with ragged bag lengths: the candidates (max length)
+    undershoot the batch gather width (the padded kv-mask width), so
+    init_params must widen the halo from the first batch BEFORE the halo'd
+    shards are built (round-3 review finding)."""
+    from healnet_tpu.train import SurvivalTrainer
+
+    mesh = make_mesh(8)
+    n, width, dim = 16, 8, 16
+    rng = np.random.default_rng(7)
+    tab = rng.normal(size=(n, 1, 32)).astype(np.float32)
+    lengths = rng.integers(2, 7, size=n).astype(np.int32)  # max 6 < width 8
+    offsets = np.zeros(n, np.int32)
+    rows, cursor = [], 0
+    for i, l in enumerate(lengths):
+        offsets[i] = cursor
+        rows.append(rng.normal(size=(int(l), dim)).astype(np.float32))
+        cursor += int(l)
+    arena = np.concatenate(rows + [np.zeros((width, dim), np.float32)])
+    event_time = np.exp(1.5 + tab[:, 0, 0]).astype(np.float32)
+    qs = np.quantile(event_time, [0.25, 0.5, 0.75])
+    kv_mask = np.arange(width)[None, :] < lengths[:, None]
+    data = dict(
+        tensors=(tab,),
+        kv_masks=(None, kv_mask),
+        patch_offsets=offsets,
+        patch_lengths=lengths,
+        y_disc=np.digitize(event_time, qs).astype(np.int32),
+        censorship=(rng.uniform(size=n) < 0.3).astype(np.float32),
+        event_time=event_time,
+    )
+
+    def run(halo):
+        trainer = SurvivalTrainer(
+            _module2mod(), batch_size=8, epochs=1, early_stopping=False,
+            gc_compat=1, seed=0, mesh=mesh, prefetch=0,
+            feature_arena=(arena, offsets, lengths),
+            arena_sharded=True, arena_halo=halo,
+        )
+        res = trainer.fit(data, data, verbose=False)
+        assert trainer.arena_halo >= width
+        return res
+
+    res_auto = run(None)            # pre-fix: ValueError at the first gather
+    res_explicit = run(width)
+    for h_a, h_e in zip(res_auto["history"], res_explicit["history"]):
+        np.testing.assert_allclose(
+            h_a["train_loss"], h_e["train_loss"], rtol=1e-6, atol=1e-7
+        )
