@@ -375,3 +375,37 @@ def test_trainer_quantized_sharded_arena_matches_replicated():
     np.testing.assert_allclose(
         r_sh["val_c_index"], r_rep["val_c_index"], rtol=1e-6
     )
+
+
+def test_trainer_all_round3_features_compose():
+    """The full round-3 stack at once — int8 arena + row-sharded over the
+    8-dev mesh + fused lax.scan epochs — trains to the same trajectory as
+    the stepwise replicated-fp path (the combination no pairwise test
+    covers)."""
+    from healnet_tpu.parallel import make_mesh
+    from healnet_tpu.train import SurvivalTrainer
+
+    mesh = make_mesh(8)
+    width, dim = 8, 16
+    data = _synthetic_survival(n=16, patches=width, patch_d=dim, seed=11)
+    arena_data, arena = _arena_form(data, width, dim)
+
+    def run(**kw):
+        tr = SurvivalTrainer(
+            _trainer_module(), batch_size=8, epochs=2, early_stopping=False,
+            gc_compat=1, seed=0, prefetch=0,
+            feature_arena=(arena, arena_data["patch_offsets"],
+                           arena_data["patch_lengths"]),
+            arena_halo=width, **kw,
+        )
+        return tr.fit(arena_data, arena_data, verbose=False)
+
+    r_all = run(mesh=mesh, arena_quant=True, arena_sharded=True,
+                fused_epochs=True)
+    r_base = run(arena_quant=True)  # single-device quantized stepwise
+    np.testing.assert_allclose(
+        r_all["train_loss"], r_base["train_loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        r_all["val_c_index"], r_base["val_c_index"], rtol=1e-6
+    )
