@@ -144,14 +144,18 @@ class MCAT(nn.Module):
         h_o = jax.nn.relu(torch_dense(size[2], size[1], name="omic_rho")(h_o))
         h_o = nn.Dropout(self.dropout)(h_o, deterministic=deterministic)
 
+        # h_p / h_o are size[2]-wide after the rho projections, so the fusion
+        # fan-ins are size[2]-based (identical to size[1] for 'small', but
+        # 'big' = (1024, 512, 384) diverges — declaring size[1] there would
+        # skew the torch-style bias-init bound vs the reference contract)
         if self.fusion == "bilinear":
             h = BilinearFusion(
-                dim1=size[1], dim2=size[1], scale_dim1=8, scale_dim2=8,
+                dim1=size[2], dim2=size[2], scale_dim1=8, scale_dim2=8,
                 mmhid=size[2], name="mm",
             )(h_p, h_o, deterministic=deterministic)
         else:
             h = jnp.concatenate([h_p, h_o], axis=1)
-            h = jax.nn.relu(torch_dense(size[2], size[1] * 2, name="mm_0")(h))
+            h = jax.nn.relu(torch_dense(size[2], size[2] * 2, name="mm_0")(h))
             h = jax.nn.relu(torch_dense(size[2], size[2], name="mm_1")(h))
 
         logits = torch_dense(self.n_classes, size[2], name="classifier")(h)

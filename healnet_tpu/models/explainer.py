@@ -141,12 +141,12 @@ class Explainer:
         low = self.get_patients(risk="low", n=n_low)
         for label, series in (("high_risk", high), ("low_risk", low)):
             for rank, (idx, slide_id) in enumerate(series.items()):
-                self.save_name = f"{label}_{rank}"
                 results.append(
                     self.run_sample_explanation(
                         idx, slide_id, run_omic=run_omic, run_slides=run_slides,
                         heatmap=heatmap, highlight_patches=highlight_patches,
                         save_patches=save_patches, downsample=downsample,
+                        save_name=f"{label}_{rank}",
                     )
                 )
         return results
@@ -161,11 +161,13 @@ class Explainer:
         highlight_patches: bool = True,
         save_patches: bool = True,
         downsample: Optional[float] = None,
+        save_name: Optional[str] = None,
     ) -> Dict:
-        # run_sample_explanation is also a public entry point (not only
-        # driven by run(), which sets save_name per high/low-risk rank)
-        if not hasattr(self, "save_name"):
-            self.save_name = str(slide_id)
+        # run_sample_explanation is also a public entry point: artifacts are
+        # named per call (run() passes the high/low-risk rank; direct calls
+        # default to the slide id) — a persistent attribute here would make
+        # a later direct call silently clobber the previous sample's files
+        self.save_name = str(slide_id) if save_name is None else save_name
         # duplicate index labels are tolerated by the loader; get_loc would
         # return a slice/mask for them
         hits = np.flatnonzero(self.omic_df.index == idx)
@@ -288,10 +290,14 @@ class Explainer:
             ph = pw = cell
 
         heat = np.zeros((canvas_h, canvas_w), np.float32)
+        # painted is tracked separately: the argmin patch scales to exactly
+        # 0.0, so `heat <= 0` would misclassify a real patch as background
+        painted = np.zeros((canvas_h, canvas_w), bool)
         for x, y, a in zip(xs, ys, scaled):
             heat[y : y + ph, x : x + pw] = a
+            painted[y : y + ph, x : x + pw] = True
         np.save(self.expl_dir / f"{self.save_name}_heatmap.npy", heat)
-        np.save(self.expl_dir / f"{self.save_name}_mask.npy", heat <= 0.0)
+        np.save(self.expl_dir / f"{self.save_name}_mask.npy", ~painted)
 
         if heatmap:
             fig, ax = plt.subplots(figsize=(10, 10))

@@ -568,11 +568,25 @@ class HealNet:
             if isinstance(mask, (list, tuple)):
                 kv_masks = [None if m is None else jnp.asarray(m, bool) for m in mask]
             else:
+                # single-array form: the reference broadcasts one mask to
+                # every modality's cross-attention (healnet.py:236), which
+                # only type-checks when token counts match — mirror that by
+                # applying it to every width-matching modality, and fail
+                # loudly instead of silently ignoring a mask that matches
+                # nothing (e.g. built for the unpadded bag)
                 mask = jnp.asarray(mask, bool).reshape(batch, -1)
+                matched = False
                 for i, t in enumerate(prepared):
                     tokens = int(np.prod(t.shape[1:-1]))
                     if tokens == mask.shape[1]:
                         kv_masks[i] = mask
+                        matched = True
+                if not matched:
+                    raise ValueError(
+                        f"mask has {mask.shape[1]} tokens but no modality's "
+                        "flattened token count matches — pass a per-modality "
+                        "tuple/list of masks (None for unmasked modalities)"
+                    )
         return tuple(prepared), jnp.asarray(presence), tuple(kv_masks)
 
     # ------------------------------------------------------------------ API
@@ -604,12 +618,13 @@ class HealNet:
         if self.params is None:
             self.init(tensors)
         eager = self.store_attention == "eager"
+        rng = self._next_rng() if train else jax.random.PRNGKey(0)
         out, state = self._apply(
             self.params,
             prepared,
             presence,
             kv_masks,
-            self._next_rng() if train else jax.random.PRNGKey(0),
+            rng,
             deterministic=not train,
             return_embeddings=return_embeddings,
             store_attention=eager,
@@ -618,7 +633,11 @@ class HealNet:
             self._attn_weights = self._collect_attention(state.get("intermediates", {}))
         else:
             self._attn_weights = None
-        self._last_inputs = (prepared, presence, kv_masks)
+        # the lazy capture must replay THIS pass (same rng + deterministic
+        # flag), so a train=True forward's dropout shapes the returned maps
+        # exactly as it shaped the forward — reference semantics: 'weights
+        # of the last forward pass' (healnet.py:420)
+        self._last_inputs = (prepared, presence, kv_masks, rng, not train)
         return out
 
     forward = __call__
@@ -656,14 +675,14 @@ class HealNet:
             return self._attn_weights
         if self.store_attention == "off" or self._last_inputs is None:
             return []
-        prepared, presence, kv_masks = self._last_inputs
+        prepared, presence, kv_masks, rng, deterministic = self._last_inputs
         _, state = self._apply(
             self.params,
             prepared,
             presence,
             kv_masks,
-            jax.random.PRNGKey(0),
-            deterministic=True,
+            rng,
+            deterministic=deterministic,
             return_embeddings=False,
             store_attention=True,
         )

@@ -255,11 +255,9 @@ class Attention(nn.Module):
         if self.attention_impl == "flash":
             return True
         if self.attention_impl == "auto":
-            try:
-                on_tpu = jax.devices()[0].platform == "tpu"
-            except Exception:
-                on_tpu = False
-            if not on_tpu:
+            from healnet_tpu.ops.pallas_utils import on_tpu as _on_tpu
+
+            if not _on_tpu():
                 return False
             # Measured on v5e (fwd+bwd; table in BENCH_NOTES.md "Flash
             # cross-attention kernel"): for small latent arrays XLA's einsum

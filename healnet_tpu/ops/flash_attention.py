@@ -57,15 +57,8 @@ _BWD_BYTES_BUDGET = 10 * 1024 * 1024
 _BATCH_DN = lambda: (((2,), (2,)), ((0,), (0,)))  # contract d, batch G
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from healnet_tpu.ops.pallas_utils import on_tpu as _on_tpu
+from healnet_tpu.ops.pallas_utils import round_up as _round_up
 
 
 def _pick_group(bh: int, lq: int, chunk: int, d: int, budget: int, n_tmp: int = 3) -> int:

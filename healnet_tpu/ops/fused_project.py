@@ -87,15 +87,8 @@ _DEF_TILE = 512
 _MIN_ELEMENTS = 1 << 22
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from healnet_tpu.ops.pallas_utils import on_tpu as _on_tpu
+from healnet_tpu.ops.pallas_utils import round_up as _round_up
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +253,7 @@ def _pallas_call(dat, w_pad, enc_proj, enc_stats, aux, scale, d_total, eps,
     )(*operands)
 
 
-def _prep(dat, enc, w_all, b_all, tile, cdt):
+def _prep(dat, enc, w_all, b_all, cdt):
     """Host-side (traced) prep: pad F, precompute tiny enc projection/stats."""
     b, t, c = dat.shape
     f = w_all.shape[1]
@@ -294,7 +287,7 @@ def _pallas_project(cfg, dat, enc, w_all, b_all, scale=None):
 def _pallas_forward(cfg, dat, enc, w_all, b_all, scale):
     eps, tile, interpret, cdt_name = cfg
     cdt = jnp.dtype(cdt_name) if cdt_name is not None else dat.dtype
-    w_pad, enc_proj, enc_stats, aux, f, _ = _prep(dat, enc, w_all, b_all, tile, cdt)
+    w_pad, enc_proj, enc_stats, aux, f, _ = _prep(dat, enc, w_all, b_all, cdt)
     d_total = w_all.shape[0]
     kv_pad, s1, s2 = _pallas_call(
         dat, w_pad, enc_proj, enc_stats, aux, scale, d_total, eps, tile, interpret

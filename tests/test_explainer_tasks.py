@@ -168,3 +168,24 @@ def test_resnet50_feature_extractor_shapes(rng):
     # deterministic across calls
     feats2 = extractor(patches)
     np.testing.assert_allclose(feats, feats2, rtol=1e-6)
+
+
+def test_direct_sample_explanation_names_by_slide_id(run_artifacts, monkeypatch, tmp_path):
+    """run_sample_explanation called directly AFTER run() must name its
+    artifacts by slide id, not reuse the last run()'s 'low_risk_*' prefix
+    (round-3 review: stale save_name clobbered earlier artifacts)."""
+    from healnet_tpu.models.explainer import Explainer
+
+    monkeypatch.chdir(tmp_path)
+    explainer = Explainer(run_artifacts)
+    explainer.run(n_high=1, n_low=0, run_omic=True, run_slides=False)
+    before = set(explainer.expl_dir.glob("high_risk_0_*"))
+    assert before, "run() produced no artifacts"
+
+    idx = explainer.omic_df.index[0]
+    slide_id = explainer.omic_df["slide_id"].iloc[0][:-4]
+    explainer.run_sample_explanation(
+        idx, slide_id, run_omic=True, run_slides=False,
+    )
+    assert set(explainer.expl_dir.glob("high_risk_0_*")) == before
+    assert list(explainer.expl_dir.glob(f"{slide_id}_omic_attn.png"))

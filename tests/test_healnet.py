@@ -196,3 +196,36 @@ def test_wrapper_load_torch_state_dict(rng):
     m = HealNet(n_modalities=1, channel_dims=[T_D], num_spatial_axes=[1], out_dims=4, **SMALL_HP)
     m.load_torch_state_dict(tm.state_dict())
     np.testing.assert_allclose(np.asarray(m([tab])), ref_logits, rtol=1e-4, atol=1e-5)
+
+
+def test_single_mask_matching_no_modality_raises(rng):
+    """A single-array mask whose width matches no modality's token count is
+    an error, not a silent no-op (round-3 review)."""
+    tab = rng.normal(size=(B, T_C, T_D)).astype(np.float32)
+    m = HealNet(
+        n_modalities=1, channel_dims=[T_D], num_spatial_axes=[1],
+        out_dims=4, **SMALL_HP,
+    )
+    bad = np.ones((B, T_C + 3), bool)  # width matches nothing
+    with pytest.raises(ValueError, match="per-modality"):
+        m([tab], mask=bad)
+
+
+def test_lazy_capture_replays_training_pass(rng):
+    """get_attention_weights after a train=True forward returns the maps of
+    THAT pass (same dropout rng), identical to what eager capture stored —
+    reference semantics: 'weights of the last forward pass' (healnet.py:420)."""
+    tab = rng.normal(size=(B, T_C, T_D)).astype(np.float32)
+    kw = dict(
+        n_modalities=1, channel_dims=[T_D], num_spatial_axes=[1],
+        out_dims=4, attn_dropout=0.3, ff_dropout=0.4, seed=0, **SMALL_HP,
+    )
+    eager = HealNet(store_attention="eager", **kw)
+    lazy = HealNet(store_attention="lazy", **kw)
+    eager([tab], train=True)
+    lazy([tab], train=True)
+    w_eager = eager.get_attention_weights()
+    w_lazy = lazy.get_attention_weights()
+    assert len(w_eager) == len(w_lazy) > 0
+    for a, b in zip(w_eager, w_lazy):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
