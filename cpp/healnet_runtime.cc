@@ -18,6 +18,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -323,8 +324,10 @@ int hn_concordance_index(const uint8_t* event, const double* time,
         if (j == i || event[j]) continue;
         double diff = est_i - estimate[j];
         ++tt;
+        // NaN estimates count as discordant (numpy fallback semantics:
+        // neither >tol nor <=tol, so the pair lands in total - con - tr)
         if (diff > tied_tol) ++con;
-        else if (diff < -tied_tol) ++dis;
+        else if (diff < -tied_tol || std::isnan(diff)) ++dis;
         else ++tr;
       }
       // strictly-later partners
@@ -332,7 +335,7 @@ int hn_concordance_index(const uint8_t* event, const double* time,
         int64_t j = order[jj];
         double diff = est_i - estimate[j];
         if (diff > tied_tol) ++con;
-        else if (diff < -tied_tol) ++dis;
+        else if (diff < -tied_tol || std::isnan(diff)) ++dis;
         else ++tr;
       }
     }

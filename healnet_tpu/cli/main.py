@@ -73,8 +73,17 @@ def run_sweep(config: Box, args) -> Dict[str, Any]:
         spec = yaml.safe_load(f)
     sweep = Sweep(spec)
 
+    base_name = config.get("run_name")
+    trial_no = itertools.count(1)
+
     def objective(params: Dict[str, Any]) -> Dict[str, Any]:
-        pipeline = Pipeline(config=config, args=args)
+        # per-trial run name: a shared run_name would interleave
+        # metrics.jsonl across trials, overwrite summaries, and — with
+        # train_loop.checkpoint+resume on — make trial N+1 restore trial
+        # N's weights from the colliding per-fold checkpoint dir
+        i = next(trial_no)
+        name = f"{base_name}_trial{i}" if base_name else None
+        pipeline = Pipeline(config=config, args=args, wandb_name=name)
         return pipeline.main(sweep_overrides=params)
 
     from pathlib import Path

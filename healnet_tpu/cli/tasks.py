@@ -126,7 +126,11 @@ def patch_slide(
     level = min(level, slide.level_count - 1)
     w, h = slide.level_dimensions[level]
     w0, h0 = slide.dimensions
-    scale = w0 / w  # level -> level0
+    # per-axis scales: level dimensions are floored independently per axis,
+    # so sharing the x scale would drift the y origin by tens of level-0
+    # pixels near the bottom of a deep-pyramid slide
+    scale_x = w0 / w  # level -> level0
+    scale_y = h0 / h
 
     # tissue mask from the most downsampled level, resized to a thumbnail
     thumb_level = slide.level_count - 1
@@ -147,7 +151,7 @@ def patch_slide(
             x0m = max(cx - 2, 0)
             window = mask[y0m : cy + 3, x0m : cx + 3]
             if window.size and window.mean() >= tissue_threshold:
-                coords.append([int(x * scale), int(y * scale)])
+                coords.append([int(x * scale_x), int(y * scale_y)])
     return np.asarray(coords, dtype=np.int64).reshape(-1, 2)
 
 

@@ -83,12 +83,26 @@ def discretize_survival(
 
 
 def class_weights(
-    y: np.ndarray, scheme: Optional[str] = "inverse"
+    y: np.ndarray, scheme: Optional[str] = "inverse", n_bins: Optional[int] = None
 ) -> Optional[np.ndarray]:
-    """Inverse / inverse-root class weights (`main.py:247-259`)."""
+    """Inverse / inverse-root class weights (`main.py:247-259`).
+
+    ``n_bins`` pins the weight-vector length: a small fold whose train split
+    misses a survival bin must still produce an ``n_bins``-long vector (the
+    loss broadcasts weights against ``(b, n_bins)`` hazards). An absent bin
+    gets the maximum weight (it is rarer than any observed bin).
+    """
     if scheme in (None, "None"):
         return None
-    _, counts = np.unique(np.asarray(y), return_counts=True)
+    y = np.asarray(y).astype(np.int64)
+    counts = np.bincount(y, minlength=int(n_bins) if n_bins else 0).astype(
+        np.float64
+    )
+    if n_bins is not None:
+        counts = counts[: int(n_bins)]
+    missing = counts == 0
+    if missing.any():
+        counts[missing] = max(counts[~missing].min(), 1.0) if (~missing).any() else 1.0
     if scheme == "inverse":
         return 1.0 / counts
     if scheme == "inverse_root":

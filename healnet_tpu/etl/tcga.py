@@ -270,6 +270,23 @@ class TCGADataset(Dataset):
     def _npy_path(self, slide_id: str) -> Path:
         return self.prep_path / "patch_features" / f"{slide_id}.npy"
 
+    @property
+    def _row_sids(self) -> np.ndarray:
+        """Per-row stripped slide ids, cached as a numpy object array.
+
+        The arena build is O(n) rows and the prefetch hook runs per batch
+        every epoch; pandas scalar ``iloc`` is ~100x a numpy array read, so
+        those loops index this array instead.
+        """
+        cached = getattr(self, "_row_sids_arr", None)
+        if cached is None or len(cached) != len(self.omic_df):
+            cached = np.asarray(
+                [s.rsplit(".", 1)[0] for s in self.omic_df["slide_id"].tolist()],
+                dtype=object,
+            )
+            self._row_sids_arr = cached
+        return cached
+
     def _scan_max_patches(self) -> Optional[int]:
         """Largest bag length across the dataset (reads only npy headers).
 
@@ -281,7 +298,11 @@ class TCGADataset(Dataset):
         for sid in self.slide_ids:
             npy = base / f"{sid}.npy"
             if not npy.exists():
-                return None  # .pt-only layout: reference pads offline
+                # .pt(-mixed) layout: reference pads offline. Clear the
+                # partial size map — a truthy partial dict would silently
+                # enable bucketing on a biased subset of bag sizes
+                self._bag_sizes = {}
+                return None
             with open(npy, "rb") as f:
                 version = np.lib.format.read_magic(f)
                 reader = (
@@ -360,7 +381,7 @@ class TCGADataset(Dataset):
         ):
             return
         paths = [
-            self._npy_path(self.omic_df.iloc[int(i)]["slide_id"].rsplit(".", 1)[0])
+            self._npy_path(self._row_sids[int(i)])
             for i in ids
         ]
         paths = [p for p in paths if p.exists()]
@@ -392,8 +413,7 @@ class TCGADataset(Dataset):
         sizes = getattr(self, "_bag_sizes", None)
         if not sizes:
             return None
-        sid = self.omic_df.iloc[index]["slide_id"].rsplit(".", 1)[0]
-        return sizes.get(sid)
+        return sizes.get(self._row_sids[index])
 
     def load_patch_features(self, slide_id: str) -> np.ndarray:
         """Raw per-slide patch features, (n_patches, feat_dim).
@@ -443,8 +463,9 @@ class TCGADataset(Dataset):
         offsets = np.empty(len(self), dtype=np.int32)
         seg_offset: Dict[str, int] = {}
         cursor = 0
+        row_sids = self._row_sids
         for i in range(len(self)):
-            sid = self.omic_df.iloc[i]["slide_id"].rsplit(".", 1)[0]
+            sid = row_sids[i]
             assert sid in sizes, (
                 f"device_cache: no .npy patch features for slide {sid} "
                 "(mixed .npy/.pt trees are not supported)"
@@ -477,8 +498,9 @@ class TCGADataset(Dataset):
         dim = int(self._feature_dim)  # recorded by the npy-header scan
         arena = np.zeros((total, dim), dtype=self.feature_dtype)
         written = set()
+        row_sids = self._row_sids
         for i in range(len(self)):
-            sid = self.omic_df.iloc[i]["slide_id"].rsplit(".", 1)[0]
+            sid = row_sids[i]
             if sid in written:
                 continue  # duplicate omic rows share the segment
             written.add(sid)

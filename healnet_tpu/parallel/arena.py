@@ -87,6 +87,27 @@ def build_sharded_arena(
     return ShardedArena(dev, shard_rows=shard_rows, halo=halo, axis=axis)
 
 
+def build_device_arena(host, mesh: Mesh, halo: int, axis: str = AXIS_SEQ):
+    """Halo'd row shards for a plain OR int8-quantized host arena.
+
+    The one shared builder for the Pipeline's build-once path and the
+    trainer's lazy path (drift between the two silently breaks gather
+    parity). A ``QuantizedContext`` shards values and scales identically —
+    the scales ride as a dim-1 column so the SAME halo'd gather applies to
+    both (`ops/quantize.py`).
+    """
+    from healnet_tpu.ops.quantize import QuantizedContext
+
+    if isinstance(host, QuantizedContext):
+        return QuantizedContext(
+            build_sharded_arena(np.asarray(host.data), mesh, halo=halo, axis=axis),
+            build_sharded_arena(
+                np.asarray(host.scale)[:, None], mesh, halo=halo, axis=axis
+            ),
+        )
+    return build_sharded_arena(np.asarray(host), mesh, halo=halo, axis=axis)
+
+
 def gather_sharded(
     arena: ShardedArena,
     offsets: jnp.ndarray,

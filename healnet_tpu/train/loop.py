@@ -299,29 +299,15 @@ class SurvivalTrainer:
                 q, s = quantize_context_host(np.asarray(host))
                 host = QuantizedContext(q, s)
             if self.mesh is not None and self.arena_sharded:
-                from healnet_tpu.parallel.arena import build_sharded_arena
+                from healnet_tpu.parallel.arena import build_device_arena
 
                 assert self.arena_halo is not None, (
                     "arena_sharded needs arena_halo (widest gather window); "
                     "pass bucket_boundaries or the arena lengths"
                 )
-                if isinstance(host, QuantizedContext):
-                    # rows shard identically for values and scales (scales
-                    # ride as a dim-1 column so the same gather applies)
-                    self._arena = QuantizedContext(
-                        build_sharded_arena(
-                            np.asarray(host.data), self.mesh, halo=self.arena_halo
-                        ),
-                        build_sharded_arena(
-                            np.asarray(host.scale)[:, None],
-                            self.mesh,
-                            halo=self.arena_halo,
-                        ),
-                    )
-                else:
-                    self._arena = build_sharded_arena(
-                        np.asarray(host), self.mesh, halo=self.arena_halo
-                    )
+                self._arena = build_device_arena(
+                    host, self.mesh, halo=self.arena_halo
+                )
             elif self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 

@@ -156,6 +156,8 @@ class MultiModNTrainer:
                 k: sums[k] + metrics[k] for k in sums
             }
             count += 1
+        if sums is None:
+            raise ValueError("train_epoch received an empty dataset (0 batches)")
         epoch_metrics = {k: v / count for k, v in sums.items()}
         if history is not None:
             self._log_history(history, epoch, epoch_metrics, prefix="train")
@@ -175,6 +177,8 @@ class MultiModNTrainer:
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             sums = metrics if sums is None else {k: sums[k] + metrics[k] for k in sums}
             count += 1
+        if sums is None:
+            raise ValueError("test received an empty dataset (0 batches)")
         out = {k: v / count for k, v in sums.items()}
         out.update(compute_binary_rates(out))
         if history is not None:

@@ -121,8 +121,16 @@ class Pipeline:
     def main(self, sweep_overrides: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         if sweep_overrides:
             for key, value in sweep_overrides.items():
-                if key in self.config:
-                    self.config[key] = value
+                # apply EVERY override — silently dropping an absent key
+                # would run the baseline config while the sweep table records
+                # the varied value; creating it is correct (consumers read
+                # config.get) but worth surfacing in case of a typo'd key
+                if key not in self.config:
+                    print(f"sweep override creates new config key: {key!r}")
+                self.config[key] = value
+            # keep the tracker's captured config truthful (it was built
+            # from the pre-override config in __init__)
+            self.tracker.config.update(sweep_overrides)
             # the cached trainer was built from the PREVIOUS hyperparameters;
             # a reused Pipeline must rebuild it (and, if the overrides touch
             # the data config, the dataset/arena too)
@@ -240,7 +248,7 @@ class Pipeline:
             f"Test samples: {len(test_idx)}"
         )
         scheme = str(self.config["model_params.class_weights"])
-        cw = class_weights(data.y_disc[train_idx], scheme)
+        cw = class_weights(data.y_disc[train_idx], scheme, n_bins=self.output_dims)
         return data.take(train_idx), data.take(val_idx), data.take(test_idx), cw
 
     def _compute_dtype(self):
@@ -429,24 +437,9 @@ class Pipeline:
                 elif _DATASET_CACHE.get("arena_sharded_key") == skey:
                     arena_device = _DATASET_CACHE["arena_sharded"]
                 else:
-                    from healnet_tpu.parallel.arena import build_sharded_arena
+                    from healnet_tpu.parallel.arena import build_device_arena
 
-                    if isinstance(arena, QuantizedContext):
-                        # scales shard identically as a dim-1 column so the
-                        # same halo'd gather applies to values and scales
-                        arena_device = QuantizedContext(
-                            build_sharded_arena(
-                                np.asarray(arena.data), mesh, halo=halo
-                            ),
-                            build_sharded_arena(
-                                np.asarray(arena.scale)[:, None], mesh,
-                                halo=halo,
-                            ),
-                        )
-                    else:
-                        arena_device = build_sharded_arena(
-                            np.asarray(arena), mesh, halo=halo
-                        )
+                    arena_device = build_device_arena(arena, mesh, halo=halo)
                 self._arena_sharded_key = skey
                 self._arena_sharded_device = arena_device
                 if _DATASET_CACHE["dataset"] is parent:

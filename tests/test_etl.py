@@ -555,3 +555,16 @@ def test_background_iterator_shutdown_and_sentinel():
     _time.sleep(0.3)  # let the producer fill the queue and finish
     assert list(it2) == [0, 1, 2, 3, 4]
     it2.close()
+
+
+def test_class_weights_missing_bin_keeps_length():
+    """A train split missing a survival bin must still yield an n_bins-long
+    vector (the loss broadcasts weights against (b, n_bins) hazards); the
+    absent bin gets the maximum observed weight (round-3 review: np.unique
+    returned a short vector that crashed nll_loss at trace time)."""
+    y = np.array([0, 0, 1, 1, 1, 3])  # bin 2 absent
+    w = class_weights(y, "inverse", n_bins=4)
+    assert w.shape == (4,)
+    np.testing.assert_allclose(w, [0.5, 1 / 3, 1.0, 1.0])
+    w = class_weights(y, "inverse_root", n_bins=4)
+    assert w.shape == (4,)

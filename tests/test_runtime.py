@@ -160,3 +160,22 @@ def test_feature_cache_concurrent_load_prefetch_stress(tmp_path, rng):
     assert not errors, errors[:1]
     stats = cache.stats
     assert stats["bytes"] <= 1 * 1024 * 1024  # byte bound holds after churn
+
+
+@pytest.mark.skipif(
+    not native_available(), reason="native runtime unbuildable on this host"
+)
+def test_cindex_native_nan_estimates_match_numpy(rng):
+    """NaN risk estimates (a diverged model) count as discordant in BOTH
+    implementations — the native path used to credit them 0.5 as tied_risk,
+    so hosts with/without a g++ toolchain reported different c-indexes for
+    the same run (round-3 review)."""
+    n = 64
+    time = rng.uniform(1, 100, n)
+    event = rng.uniform(size=n) < 0.7
+    est = rng.normal(size=n)
+    est[rng.choice(n, 9, replace=False)] = np.nan
+    ref = concordance_index_censored(event, time, est)
+    nat = concordance_index_native(event, time, est)
+    assert ref[1:] == nat[1:], (ref, nat)
+    np.testing.assert_allclose(nat[0], ref[0], rtol=1e-12)
