@@ -121,6 +121,7 @@ class SurvivalTrainer:
         max_lr: float = 8e-3,
         patience: int = 5,
         early_stopping: bool = True,
+        eval_interval: int = 1,
         cycle_momentum: bool = True,
         seed: int = 0,
         tracker=None,
@@ -194,6 +195,10 @@ class SurvivalTrainer:
         self.max_lr = max_lr
         self.patience = patience
         self.early_stopping = early_stopping
+        # evaluate val every N epochs (always on the final epoch): at WSI
+        # scale a full val pass can rival a train epoch, and the reference's
+        # every-epoch cadence (main.py:487) is the eval_interval=1 default
+        self.eval_interval = max(1, int(eval_interval))
         self.cycle_momentum = cycle_momentum
         self.seed = seed
         self.tracker = tracker
@@ -882,26 +887,33 @@ class SurvivalTrainer:
                 print(f"train c-index undefined this epoch: {exc}")
                 train_c = float("nan")
 
-            val_loss, val_c = self.evaluate(val_data)
+            do_eval = (epoch % self.eval_interval == 0) or epoch == self.epochs
+            if do_eval:
+                val_loss, val_c = self.evaluate(val_data)
+            else:  # skipped interval: explicit NaNs, never stale values
+                val_loss, val_c = float("nan"), float("nan")
             history.append(
                 dict(epoch=epoch, train_loss=train_loss, train_c_index=train_c,
                      val_loss=val_loss, val_c_index=val_c, seconds=time.time() - t0)
             )
             if verbose:
+                val_str = (
+                    f"val_loss {val_loss:.4f} c {val_c:.4f}" if do_eval
+                    else "val skipped"
+                )
                 print(
                     f"Epoch {epoch}: train_loss {train_loss:.4f} c {train_c:.4f} | "
-                    f"val_loss {val_loss:.4f} c {val_c:.4f} | {history[-1]['seconds']:.1f}s"
+                    f"{val_str} | {history[-1]['seconds']:.1f}s"
                 )
             if self.tracker is not None:
-                self.tracker.log(
-                    {
-                        f"fold_{fold}_train_loss": train_loss,
-                        f"fold_{fold}_train_c_index": train_c,
-                        f"fold_{fold}_val_loss": val_loss,
-                        f"fold_{fold}_val_c_index": val_c,
-                    },
-                    step=epoch if fold == 1 else None,
-                )
+                metrics_log = {
+                    f"fold_{fold}_train_loss": train_loss,
+                    f"fold_{fold}_train_c_index": train_c,
+                }
+                if do_eval:
+                    metrics_log[f"fold_{fold}_val_loss"] = val_loss
+                    metrics_log[f"fold_{fold}_val_c_index"] = val_c
+                self.tracker.log(metrics_log, step=epoch if fold == 1 else None)
                 # gradient/parameter observability (reference wandb.watch,
                 # `main.py:135`): epoch-final grad norms from the compiled
                 # step + per-module param norms — one host readback per epoch
@@ -923,10 +935,15 @@ class SurvivalTrainer:
                     step=epoch,
                     params=self.params,
                     opt_state=self.opt_state,
-                    metrics={"val_loss": val_loss, "val_c_index": val_c},
+                    metrics=(
+                        {"val_loss": val_loss, "val_c_index": val_c}
+                        if do_eval else None
+                    ),
                     keep_last=self.keep_checkpoints,
                 )
-            if self.early_stopping and stopper.step(val_loss, self.params):
+            # early stopping only sees evaluated epochs: patience counts
+            # evaluations, matching the reference cadence at interval 1
+            if do_eval and self.early_stopping and stopper.step(val_loss, self.params):
                 if verbose:
                     print(f"Early stopping at epoch {epoch}")
                 self.params = stopper.load_best_weights(self.params)

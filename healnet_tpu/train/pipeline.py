@@ -489,6 +489,7 @@ class Pipeline:
             max_lr=float(self.config["optimizer.max_lr"]),
             patience=int(self.config["train_loop.patience"]),
             early_stopping=bool(self.config["train_loop.early_stopping"]),
+            eval_interval=int(self.config.get("train_loop.eval_interval", 1)),
             gc_compat=int(self.config.get("train_loop.gc_compat", 16)),
             seed=fold,
             tracker=self.tracker,

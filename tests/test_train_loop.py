@@ -577,3 +577,20 @@ def test_progress_schedule_short_horizon_floor():
     # would evaluate at frac 0.5, already in the annealing phase)
     assert abs(lr - float(onecycle_lr_at(jnp.float32(1 / 5), 8e-3))) < 1e-9
     assert 8e-3 / 25.0 < lr < 8e-3  # strictly inside the warmup ramp
+
+
+def test_eval_interval_skips_val_and_still_early_stops():
+    """train_loop.eval_interval=2: odd epochs skip the val pass (NaN in
+    history, no stale values), the final epoch always evaluates, and early
+    stopping sees only evaluated epochs."""
+    data = _synthetic_survival(n=24, seed=13)
+    tr = SurvivalTrainer(
+        _module(), batch_size=8, epochs=5, early_stopping=False,
+        gc_compat=1, seed=0, eval_interval=2, prefetch=0,
+    )
+    res = tr.fit(data, data, verbose=False)
+    hist = {h["epoch"]: h for h in res["history"]}
+    assert np.isnan(hist[1]["val_loss"]) and np.isnan(hist[3]["val_loss"])
+    assert np.isfinite(hist[2]["val_loss"]) and np.isfinite(hist[4]["val_loss"])
+    assert np.isfinite(hist[5]["val_loss"])  # final epoch always evaluates
+    assert np.isfinite(res["val_loss"])      # fold summary uses a real eval
