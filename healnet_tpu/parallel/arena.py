@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from healnet_tpu.parallel.mesh import AXIS_DATA, AXIS_SEQ
 
@@ -164,7 +164,7 @@ def gather_sharded(
         mesh=mesh,
         in_specs=(P(arena.axis, None, None), P(b_axis)),
         out_specs=P(b_axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )(arena.ext, offsets)
 
 

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from healnet_tpu.ops.activations import mask_value
 from healnet_tpu.ops.hash_dropout import hash_keep
@@ -146,7 +146,7 @@ def sequence_parallel_attention(
         mesh=mesh,
         in_specs=(qspec, kvspec, kvspec, mspec, P(None, None)),
         out_specs=qspec,
-        check_rep=False,
+        check_vma=False,
     )(q, k, v, kv_mask, dropout_seed)
     b, h, lq, d = out.shape
     return out.transpose(0, 2, 1, 3).reshape(b, lq, h * d)

@@ -342,34 +342,67 @@ class Predictor:
             for k in next(iter(slot_outs.values()))
         }
 
+    def export(
+        self,
+        path: Union[str, Path],
+        example_shapes: Sequence[Sequence[int]],
+        widths: Optional[Sequence[int]] = None,
+        platforms: Optional[Sequence[str]] = None,
+    ):
+        """Write a self-contained deployment artifact (StableHLO + params).
+
+        See :func:`healnet_tpu.serving_export.export_predictor`.
+        ``example_shapes`` are per-sample trailing shapes, one per modality,
+        e.g. ``[(1, 2000), (4096, 2048)]``.
+        """
+        from healnet_tpu.serving_export import export_predictor
+
+        return export_predictor(
+            self, path, example_shapes, widths=widths, platforms=platforms
+        )
+
     def _microbatched(self, n, full, pres, masks, masks_absent):
-        outs: List[Dict[str, np.ndarray]] = []
-        bs = self.batch_size
-        for start in range(0, n, bs):
-            sel = slice(start, min(start + bs, n))
-            cur = [t[sel] for t in full]
-            cur_pres = pres[sel]
-            cur_masks = [None if m is None else m[sel] for m in masks]
-            pad = bs - cur[0].shape[0]
-            if pad > 0:
-                cur = [np.concatenate([t, np.repeat(t[-1:], pad, 0)]) for t in cur]
-                cur_pres = np.concatenate([cur_pres, np.repeat(cur_pres[-1:], pad, 0)])
-                cur_masks = [
-                    None if m is None
-                    else np.concatenate([m, np.repeat(m[-1:], pad, 0)])
-                    for m in cur_masks
-                ]
-            dtype = self.compute_dtype or jnp.float32
-            batch_tensors = tuple(jnp.asarray(t, dtype) for t in cur)
-            jm = (
-                None
-                if masks_absent
-                else tuple(None if m is None else jnp.asarray(m) for m in cur_masks)
-            )
-            result = self._predict(
-                self.params, batch_tensors, jnp.asarray(cur_pres), jm
-            )
-            outs.append(
-                {k: np.asarray(v)[: bs - pad if pad else bs] for k, v in result.items()}
-            )
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        return serve_microbatched(
+            self._predict, self.params, n, full, pres, masks, masks_absent,
+            self.batch_size, self.compute_dtype,
+        )
+
+
+def serve_microbatched(
+    predict_fn, params, n, full, pres, masks, masks_absent, batch_size,
+    compute_dtype,
+):
+    """Pad/split n requests into fixed micro-batches and reassemble outputs.
+
+    Shared by the live :class:`Predictor` and the deployment-artifact
+    :class:`healnet_tpu.serving_export.ExportedPredictor` so padding
+    semantics cannot drift between them.
+    """
+    outs: List[Dict[str, np.ndarray]] = []
+    bs = batch_size
+    for start in range(0, n, bs):
+        sel = slice(start, min(start + bs, n))
+        cur = [t[sel] for t in full]
+        cur_pres = pres[sel]
+        cur_masks = [None if m is None else m[sel] for m in masks]
+        pad = bs - cur[0].shape[0]
+        if pad > 0:
+            cur = [np.concatenate([t, np.repeat(t[-1:], pad, 0)]) for t in cur]
+            cur_pres = np.concatenate([cur_pres, np.repeat(cur_pres[-1:], pad, 0)])
+            cur_masks = [
+                None if m is None
+                else np.concatenate([m, np.repeat(m[-1:], pad, 0)])
+                for m in cur_masks
+            ]
+        dtype = compute_dtype or jnp.float32
+        batch_tensors = tuple(jnp.asarray(t, dtype) for t in cur)
+        jm = (
+            None
+            if masks_absent
+            else tuple(None if m is None else jnp.asarray(m) for m in cur_masks)
+        )
+        result = predict_fn(params, batch_tensors, jnp.asarray(cur_pres), jm)
+        outs.append(
+            {k: np.asarray(v)[: bs - pad if pad else bs] for k, v in result.items()}
+        )
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
