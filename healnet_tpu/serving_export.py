@@ -88,6 +88,22 @@ def export_predictor(
     """
     from jax import export as jexport
 
+    # the npz stores a '::'-joined flat map reconstructed as nested plain
+    # dicts: any pytree that won't survive that round-trip (list/tuple
+    # nodes, FrozenDict containers, '::' inside a key) would surface at
+    # SERVE time as an opaque Exported.call structure mismatch — fail
+    # loudly here at export instead, before any tracing
+    flat = _flatten_params(predictor.params)
+    rt = jax.tree_util.tree_structure(_unflatten_params(flat))
+    orig = jax.tree_util.tree_structure(predictor.params)
+    if rt != orig:
+        raise ValueError(
+            "params pytree does not survive the artifact's flatten/"
+            "unflatten round-trip (only nested plain dicts with keys free"
+            f" of '{_SEP}' are supported): exported structure would be"
+            f" {rt}, live structure is {orig}"
+        )
+
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     tails = [tuple(int(d) for d in s) for s in example_shapes]
@@ -139,7 +155,6 @@ def export_predictor(
         blob = exp_fn(params_avals, tens, pres_aval, masks)
         (path / f"predict_w{w}.bin").write_bytes(blob.serialize())
 
-    flat = _flatten_params(predictor.params)
     param_dtypes = {k: str(v.dtype) for k, v in flat.items()}
     # npz holds only numpy-native dtypes; bf16 params round-trip via f32
     # (exact: every bf16 value is representable in f32)
@@ -176,7 +191,7 @@ class ExportedPredictor:
     when the artifact was exported with ``widths``.
     """
 
-    def __init__(self, path):
+    def __init__(self, path, strict_versions: bool = False):
         self.path = Path(path)
         self.manifest = json.loads((self.path / "manifest.json").read_text())
         if self.manifest["format_version"] != _FORMAT_VERSION:
@@ -184,6 +199,31 @@ class ExportedPredictor:
                 f"artifact format {self.manifest['format_version']} != "
                 f"supported {_FORMAT_VERSION}"
             )
+        # export disables jax.export's tpu_custom_call stability check and
+        # pins versions in the manifest instead — enforce the pin here:
+        # a mismatched jaxlib can crash or silently miscompute Pallas
+        # custom calls. strict_versions=True turns the warnings into errors.
+        problems = []
+        if self.manifest["jax_version"] != jax.__version__:
+            problems.append(
+                f"artifact exported under jax {self.manifest['jax_version']}"
+                f" but this host runs {jax.__version__} (Pallas"
+                " tpu_custom_call stability is only guaranteed across"
+                " matching jaxlib versions)"
+            )
+        backend = jax.default_backend()
+        if backend not in self.manifest["platforms"]:
+            problems.append(
+                f"default backend '{backend}' not among the artifact's"
+                f" lowering platforms {self.manifest['platforms']}"
+            )
+        if problems:
+            if strict_versions:
+                raise ValueError("; ".join(problems))
+            import warnings
+
+            for p in problems:
+                warnings.warn(p, RuntimeWarning, stacklevel=2)
         with np.load(self.path / "params.npz") as z:
             flat = {
                 k: z[k].astype(self.manifest["param_dtypes"][k])
@@ -321,9 +361,14 @@ class ExportedPredictor:
                 mask[j, :ln] = True
             grp_tensors = [t[idxs] for t in lead] + [padded]
             kv = [None] * len(lead) + [mask]
+            # mask-free artifacts (bag baselines) were traced with
+            # kv_masks=None: drop the mask list (masks_absent=True) exactly
+            # as the live Predictor drops masks for accepts_kv_masks=False
+            # modules — padded rows are pooled, matching live semantics
             res = serve_microbatched(
                 self._fn(f"predict_w{width}"), self.params, m, grp_tensors,
-                grp_pres, kv, False, self.batch_size, self.compute_dtype,
+                grp_pres, kv, not self._uses_masks, self.batch_size,
+                self.compute_dtype,
             )
             for j, i in enumerate(idxs):
                 slot_outs[i] = {k: v[j] for k, v in res.items()}

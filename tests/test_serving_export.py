@@ -133,6 +133,107 @@ def test_export_bf16_params_roundtrip(module_and_params, tmp_path, rng):
     )
 
 
+def test_export_ragged_mask_free_bag_module(tmp_path, rng):
+    """Bag baselines (MCAT/MultiModN convention: __call__ takes no kv_masks)
+    must serve ragged requests from the ARTIFACT too: the exported program
+    was traced with kv_masks=None, so predict_ragged must drop the mask list
+    exactly as the live Predictor does — previously it passed a tuple and
+    Exported.call raised a pytree-structure ValueError."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    class BagPool(nn.Module):
+        out_dims: int = 4
+
+        @nn.compact
+        def __call__(self, tensors, presence=None, deterministic=True):
+            omic = tensors[0].reshape((tensors[0].shape[0], -1))
+            bag = jnp.mean(tensors[1], axis=1)  # pools zero-padded tokens
+            return nn.Dense(self.out_dims)(jnp.concatenate([omic, bag], -1))
+
+    module = BagPool()
+    dim = 6
+    params = module.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((2, 1, 12), np.float32), np.zeros((2, 8, dim), np.float32)),
+    )["params"]
+    boundaries = [8, 16]
+    live = Predictor(
+        module, params, batch_size=4, bucket_boundaries=boundaries,
+        mod_shapes={0: (1, 12)},
+    )
+    live.export(
+        tmp_path / "art", example_shapes=[(1, 12), (8, dim)], widths=boundaries
+    )
+    served = ExportedPredictor(tmp_path / "art")
+    assert served.manifest["uses_masks"] is False
+
+    n = 5
+    omic = rng.normal(size=(n, 1, 12)).astype(np.float32)
+    bags = [
+        rng.normal(size=(ln, dim)).astype(np.float32)
+        for ln in (3, 8, 5, 12, 2)
+    ]
+    got = served.predict_ragged([omic, bags])
+    want = live.predict_ragged([omic, bags])
+    for k in ("logits", "risk"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6)
+
+    # the dense artifact path serves mask-free modules too
+    wsi = rng.normal(size=(n, 8, dim)).astype(np.float32)
+    np.testing.assert_allclose(
+        served([omic, wsi])["logits"], live([omic, wsi])["logits"],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_export_version_pins_enforced(module_and_params, tmp_path, rng):
+    """The manifest's jax_version/platforms pins are enforced at load:
+    warn by default, raise under strict_versions (export disables the
+    tpu_custom_call stability check, so the pin IS the safety check)."""
+    import warnings
+
+    module, params = module_and_params
+    Predictor(module, params, batch_size=4).export(
+        tmp_path / "art", example_shapes=[(1, 12), (5, 6)]
+    )
+    manifest_path = tmp_path / "art" / "manifest.json"
+    manifest = json.loads(manifest_path.read_text())
+
+    # matching host: clean load
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ExportedPredictor(tmp_path / "art")
+
+    manifest["jax_version"] = "0.0.1"
+    manifest_path.write_text(json.dumps(manifest))
+    with pytest.warns(RuntimeWarning, match="0.0.1"):
+        ExportedPredictor(tmp_path / "art")
+    with pytest.raises(ValueError, match="0.0.1"):
+        ExportedPredictor(tmp_path / "art", strict_versions=True)
+
+    manifest["jax_version"] = jax.__version__
+    manifest["platforms"] = ["nonexistent_backend"]
+    manifest_path.write_text(json.dumps(manifest))
+    with pytest.raises(ValueError, match="nonexistent_backend"):
+        ExportedPredictor(tmp_path / "art", strict_versions=True)
+
+
+def test_export_rejects_non_roundtrippable_params(module_and_params, tmp_path):
+    """Pytrees that can't survive the artifact's flatten/unflatten (tuple
+    nodes, '::' in a key) fail LOUDLY at export time, not as an opaque
+    structure mismatch at serve time."""
+    module, params = module_and_params
+    live = Predictor(module, params, batch_size=4)
+    live.params = {"pair": (np.zeros(2), np.zeros(3))}  # tuple node
+    with pytest.raises(ValueError, match="round-trip"):
+        live.export(tmp_path / "bad", example_shapes=[(1, 12), (5, 6)])
+
+    live.params = {"a::b": np.zeros(2)}  # separator collision
+    with pytest.raises(ValueError, match="round-trip"):
+        live.export(tmp_path / "bad2", example_shapes=[(1, 12), (5, 6)])
+
+
 def test_exported_artifact_needs_no_model_code(module_and_params, tmp_path, rng):
     """The artifact serves through a module-free loader: only files on disk."""
     module, params = module_and_params
