@@ -35,6 +35,7 @@ import pandas as pd
 
 from healnet_tpu.etl.base import Dataset
 from healnet_tpu.etl.datasets import discretize_survival
+from healnet_tpu.utils.config import flatten_config
 
 _NON_FEATURE_COLS = [
     "site", "oncotree_code", "case_id", "slide_id", "train",
@@ -117,6 +118,11 @@ class TCGADataset(Dataset):
             f"Invalid source specified. Valid sources are {list(valid_sources)}"
         )
         self.config = config
+        # one schema normalization at construction: callers hand configs in
+        # either nested ({"survival": {"subset": ...}}) or dotted
+        # ("survival.subset") form — flatten once and read dotted keys
+        # everywhere below (flatten_config is idempotent on dotted input)
+        cfg = flatten_config(config) if hasattr(config, "items") else flatten_config({})
         self.dataset = dataset
         self.level = level
         self.sources = list(sources)
@@ -125,7 +131,7 @@ class TCGADataset(Dataset):
         self.num_classes = num_classes
         self.n_bins = n_bins
         self.log_dir = log_dir
-        self.subset = config.get("survival.subset", config.get("survival", {}).get("subset", "uncensored")) if hasattr(config, "get") else "uncensored"
+        self.subset = cfg.get("survival.subset", "uncensored")
 
         tcga_path = Path(config["tcga_path"])
         self.raw_path = tcga_path / "wsi" / dataset
@@ -137,19 +143,15 @@ class TCGADataset(Dataset):
             p.rsplit(".", 1)[0] for p in sorted(os.listdir(patches_dir))
         ] if patches_dir.exists() else []
 
-        model = config.get("model", "healnet") if hasattr(config, "get") else "healnet"
+        model = cfg.get("model", "healnet")
         self.concat = model in ("fcnn", "healnet_early") and len(self.sources) > 1
         self.model = model
-        self.omic_attention = bool(
-            config.get("omic_attention", True) if hasattr(config, "get") else True
-        )
+        self.omic_attention = bool(cfg.get("omic_attention", True))
         # patch_attention=True: patches are context TOKENS (n_patches, dim)
         # with per-sample KV masks for ragged bags — the TPU-native layout.
         # False (reference parity): (dim, n_patches), patches as channels
         # zero-padded to a static width (`tasks.py:148-192` offline padding).
-        self.patch_attention = bool(
-            config.get("patch_attention", False) if hasattr(config, "get") else False
-        )
+        self.patch_attention = bool(cfg.get("patch_attention", False))
         # device_cache=True: batches carry (patch_offsets, patch_lengths)
         # into a device-resident feature arena instead of the slide tensors
         # themselves — the trainer uploads ALL patch features to HBM once per
@@ -157,14 +159,7 @@ class TCGADataset(Dataset):
         # host->device stream shrinks from the full feature volume to a few
         # KB of indices (requires patch_attention; see
         # :meth:`feature_arena`).
-        _dc_requested = bool(
-            config.get(
-                "data.device_cache",
-                config.get("data", {}).get("device_cache", False),
-            )
-            if hasattr(config, "get")
-            else False
-        )
+        _dc_requested = bool(cfg.get("data.device_cache", False))
         self.device_cache = (
             _dc_requested
             and self.patch_attention
@@ -199,11 +194,7 @@ class TCGADataset(Dataset):
         self.survival_months = self.omic_df["survival_months"].values.astype(np.float32)
         self.y_disc = self.omic_df["y_disc"].values.astype(np.int32)
         self._cache = LRUCache(cache_capacity)
-        fd = (
-            config.get("data.feature_dtype", config.get("data", {}).get("feature_dtype", "float32"))
-            if hasattr(config, "get")
-            else "float32"
-        )
+        fd = cfg.get("data.feature_dtype", "float32")
         self.feature_dtype = np.dtype(str(fd or "float32"))
         self.max_patches = max_patches
         if "slides" in self.sources:
