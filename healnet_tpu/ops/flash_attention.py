@@ -150,9 +150,11 @@ def _fwd_kernel(
     def _():
         l_final = l_scr[..., 0:1]
         o_ref[...] = (acc_scr[...] / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
-        lse_ref[...] = (m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-30))).astype(
-            lse_ref.dtype
-        )
+        # lse is PACKED: one f32 per query row ((g, lq, 1) block), not a
+        # 128-lane broadcast — the residual write is 1/128th the bytes
+        lse_ref[...] = (
+            m_scr[..., 0:1] + jnp.log(jnp.maximum(l_final, 1e-30))
+        ).astype(lse_ref.dtype)
 
 
 def _fwd_call(q, k, v, mask, seed, scale, kv_chunk, interpret, dropout_rate):
@@ -178,11 +180,11 @@ def _fwd_call(q, k, v, mask, seed, scale, kv_chunk, interpret, dropout_rate):
         ],
         out_specs=[
             pl.BlockSpec((g, lq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, lq, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, lq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((g, lq, 128), jnp.float32),
@@ -191,7 +193,7 @@ def _fwd_call(q, k, v, mask, seed, scale, kv_chunk, interpret, dropout_rate):
         ],
         interpret=interpret,
     )(q, k, v, mask, seed)
-    return out, lse[:, :, 0:1]
+    return out, lse
 
 
 # --------------------------------------------------------------------- bwd
@@ -218,10 +220,12 @@ def _bwd_kernel(
     k = k_ref[...]                               # (G, C, d)
     v = v_ref[...]                               # (G, C, d)
     do = do_ref[...]                             # (G, lq, d)
-    # keep everything slice/transpose-based: integer indexing lowers to
-    # gathers Mosaic does not support beyond 2D
-    lse_row = jnp.swapaxes(lse_ref[...][:, :, 0:1], 1, 2)      # (G, 1, lq)
-    delta_row = jnp.swapaxes(delta_ref[...][:, :, 0:1], 1, 2)  # (G, 1, lq)
+    # lse/delta arrive PACKED as (G, lq, 1) blocks (one f32 per query row);
+    # swapaxes relayouts the tiny tile, keeping everything slice/transpose-
+    # based: integer indexing lowers to gathers Mosaic does not support
+    # beyond 2D
+    lse_row = jnp.swapaxes(lse_ref[...], 1, 2)                 # (G, 1, lq)
+    delta_row = jnp.swapaxes(delta_ref[...], 1, 2)             # (G, 1, lq)
     mask_col = jnp.swapaxes(mask_ref[...], 1, 2)               # (G, C, 1)
 
     # s_T = (k q^T) : (G, C, lq) — contraction over d on the last dims
@@ -298,8 +302,8 @@ def _bwd_call(q, k, v, mask, do, lse, delta, seed, scale, kv_chunk, interpret, d
             pl.BlockSpec((g, kv_chunk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 1, kv_chunk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, lq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, lq, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, lq, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -314,8 +318,7 @@ def _bwd_call(q, k, v, mask, do, lse, delta, seed, scale, kv_chunk, interpret, d
         ],
         scratch_shapes=[pltpu.VMEM((g, lq, d), jnp.float32)],
         interpret=interpret,
-    )(q, k, v, mask, do, jnp.broadcast_to(lse, (bh, lq, 128)),
-      jnp.broadcast_to(delta, (bh, lq, 128)), seed)
+    )(q, k, v, mask, do, lse, delta, seed)
     return dq, dk, dv
 
 

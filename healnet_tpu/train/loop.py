@@ -785,6 +785,7 @@ class SurvivalTrainer:
                      train_c_index=train_c, val_loss=val_loss,
                      val_c_index=val_c, seconds=0.0, resumed_complete=True)
             )
+        epoch = start_epoch - 1  # stays if the loop body never runs (resume-complete)
         for epoch in range(start_epoch, self.epochs + 1):
             t0 = time.time()
             rng = jax.random.fold_in(base_rng, epoch)
@@ -955,6 +956,10 @@ class SurvivalTrainer:
             "train_c_index": train_c,
             "val_loss": val_loss,
             "val_c_index": val_c,
+            # last epoch actually run (== the early-stop epoch when the
+            # patience break fired; the reference only prints this,
+            # `main.py:497`, so parity harnesses need it surfaced)
+            "stopped_epoch": epoch,
             "history": history,
         }
         if test_data is not None:

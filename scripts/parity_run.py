@@ -163,7 +163,23 @@ BRCA_HP = dict(  # reference config/best_hyperparams.yml:20-39 (brca)
 
 
 # ---------------------------------------------------------------- torch side
-def run_torch_fold(ref_main, data, split, fold, epochs, rng_offset=0):
+class _Tee:
+    """stdout tee: keep live progress AND capture for early-stop parsing."""
+
+    def __init__(self, stream):
+        self.stream = stream
+        self.captured = []
+
+    def write(self, text):
+        self.captured.append(text)
+        self.stream.write(text)
+
+    def flush(self):
+        self.stream.flush()
+
+
+def run_torch_fold(ref_main, data, split, fold, epochs, rng_offset=0,
+                   ablation=False):
     import torch
     from torch.utils.data import DataLoader, Dataset
 
@@ -220,7 +236,7 @@ def run_torch_fold(ref_main, data, split, fold, epochs, rng_offset=0):
             "model": "healnet",
             "dataset": "brca",
             "sources": ["omic", "slides"],
-            "missing_ablation": False,
+            "missing_ablation": bool(ablation),
             "survival.loss": "nll",
             "model_params.l1": BRCA_HP["l1"],
             "optimizer.lr": BRCA_HP["lr"],
@@ -244,20 +260,38 @@ def run_torch_fold(ref_main, data, split, fold, epochs, rng_offset=0):
         "test": DataLoader(Split(te), batch_size=BRCA_HP["batch_size"]),
     }
     t0 = time.time()
-    (
-        model, train_loss, train_c, val_loss, val_c, test_loss, test_c, _
-    ) = pipe.train_survival_fold(
-        model, loaders["train"], loaders["test"], loaders["val"], fold=fold
+    # the reference only PRINTS its early-stop epoch (`main.py:497`):
+    # tee stdout and parse it so PARITY_FULL can report stop epochs
+    # side by side without modifying the torch side
+    import re
+
+    tee = _Tee(sys.stdout)
+    old_stdout, sys.stdout = sys.stdout, tee
+    try:
+        (
+            model, train_loss, train_c, val_loss, val_c, test_loss, test_c,
+            missing_performance,
+        ) = pipe.train_survival_fold(
+            model, loaders["train"], loaders["test"], loaders["val"], fold=fold
+        )
+    finally:
+        sys.stdout = old_stdout
+    stops = re.findall(r"Early stopping at epoch (\d+)", "".join(tee.captured))
+    res = dict(
+        train=float(train_c), val=float(val_c), test=float(test_c),
+        stopped_epoch=int(stops[-1]) if stops else int(epochs),
+        seconds=time.time() - t0,
     )
-    return (
-        dict(train=float(train_c), val=float(val_c), test=float(test_c),
-             seconds=time.time() - t0),
-        init_state,
-    )
+    if missing_performance is not None:
+        res["ablation"] = {
+            m: float(c) for m, c in
+            zip(("50", "omic", "wsi"), missing_performance)
+        }
+    return res, init_state
 
 
 # ------------------------------------------------------------------ tpu side
-def run_tpu_fold(data, split, fold, epochs, init_state):
+def run_tpu_fold(data, split, fold, epochs, init_state, ablation=False):
     import jax
 
     from healnet_tpu.compat import params_from_torch_state_dict
@@ -313,13 +347,23 @@ def run_tpu_fold(data, split, fold, epochs, init_state):
     )
     t0 = time.time()
     tr, va, te = split
-    res = trainer.fit(subset(tr), subset(va), subset(te), fold=fold, verbose=False)
-    return dict(
+    res = trainer.fit(
+        subset(tr), subset(va), subset(te), fold=fold,
+        missing_ablation=ablation, verbose=False,
+    )
+    out = dict(
         train=float(res["train_c_index"]),
         val=float(res["val_c_index"]),
         test=float(res["test_c_index"]),
+        stopped_epoch=int(res.get("stopped_epoch", epochs)),
         seconds=time.time() - t0,
     )
+    if ablation and "missing_performance" in res:
+        out["ablation"] = {
+            m: float(c) for m, c in
+            zip(("50", "omic", "wsi"), res["missing_performance"])
+        }
+    return out
 
 
 def main():
@@ -345,6 +389,11 @@ def main():
         "--cpu", action="store_true",
         help="run the tpu side on the CPU backend (relay-independent smoke)",
     )
+    ap.add_argument(
+        "--ablation", action="store_true",
+        help="also run the reference's missing-modality eval ablations "
+        "(50/omic/wsi, `main.py:504-541`) on both sides",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -367,11 +416,18 @@ def main():
         # dropout/shuffle seeds — same comparison structure as torch-vs-tpu
         vrows = []
         for fold in range(1, args.folds + 1):
-            a, _ = run_torch_fold(ref_main, data, splits[fold - 1], fold, args.epochs)
+            a, _ = run_torch_fold(
+                ref_main, data, splits[fold - 1], fold, args.epochs,
+                ablation=args.ablation,
+            )
             b, _ = run_torch_fold(
-                ref_main, data, splits[fold - 1], fold, args.epochs, rng_offset=1
+                ref_main, data, splits[fold - 1], fold, args.epochs,
+                rng_offset=1, ablation=args.ablation,
             )
             diffs = {s: abs(a[s] - b[s]) for s in ("train", "val", "test")}
+            if "ablation" in a and "ablation" in b:
+                for m in ("50", "omic", "wsi"):
+                    diffs[f"abl_{m}"] = abs(a["ablation"][m] - b["ablation"][m])
             print(f"fold {fold} torch-vs-torch |d|: {diffs}", flush=True)
             vrows.append({"fold": fold, "a": a, "b": b, "abs_diff": diffs})
         Path(args.json).write_text(json.dumps(vrows, indent=2))
@@ -386,11 +442,15 @@ def main():
     for fold in range(1, args.folds + 1):
         print(f"===== fold {fold} (torch) =====", flush=True)
         t_res, init_state = run_torch_fold(
-            ref_main, data, splits[fold - 1], fold, args.epochs
+            ref_main, data, splits[fold - 1], fold, args.epochs,
+            ablation=args.ablation,
         )
         print(f"torch fold {fold}: {t_res}", flush=True)
         print(f"===== fold {fold} (tpu) =====", flush=True)
-        j_res = run_tpu_fold(data, splits[fold - 1], fold, args.epochs, init_state)
+        j_res = run_tpu_fold(
+            data, splits[fold - 1], fold, args.epochs, init_state,
+            ablation=args.ablation,
+        )
         print(f"tpu fold {fold}: {j_res}", flush=True)
         rows.append((fold, t_res, j_res))
         _write(args, rows, n)
@@ -425,6 +485,40 @@ def _write(args, rows, n):
                 f"| {fold} | {split} | {t_res[split]:.4f} | "
                 f"{j_res[split]:.4f} | {d:.4f} |"
             )
+    if any("stopped_epoch" in t for _, t, _ in rows):
+        lines += [
+            "",
+            "Early stopping (patience-5 on val loss, full OneCycle horizon),",
+            "stop epoch side by side:",
+            "",
+            "| fold | torch stop epoch | tpu stop epoch |",
+            "|---|---|---|",
+        ]
+        for fold, t_res, j_res in rows:
+            lines.append(
+                f"| {fold} | {t_res.get('stopped_epoch', '?')} | "
+                f"{j_res.get('stopped_epoch', '?')} |"
+            )
+    if any("ablation" in t for _, t, _ in rows):
+        lines += [
+            "",
+            "Missing-modality eval ablation on the trained fold models",
+            "(test split; reference `main.py:504-541` semantics: '50'",
+            "alternates the dropped modality per batch, 'omic' drops omics,",
+            "'wsi' drops the patch bags):",
+            "",
+            "| fold | mode | torch c-index | tpu c-index | abs diff |",
+            "|---|---|---|---|---|",
+        ]
+        for fold, t_res, j_res in rows:
+            if "ablation" not in t_res:
+                continue
+            for m in ("50", "omic", "wsi"):
+                d = abs(t_res["ablation"][m] - j_res["ablation"][m])
+                lines.append(
+                    f"| {fold} | {m} | {t_res['ablation'][m]:.4f} | "
+                    f"{j_res['ablation'][m]:.4f} | {d:.4f} |"
+                )
     test_t = [t[1]["test"] for t in rows]
     test_j = [t[2]["test"] for t in rows]
     lines += [
