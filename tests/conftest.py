@@ -62,6 +62,7 @@ SLOW_NODEID_PARTS = [
     "test_etl.py::test_ragged_bags_patch_attention_layout",
     "test_explainer_tasks.py::test_explainer_end_to_end",
     "test_explainer_tasks.py::test_resnet50_feature_extractor_shapes",
+    "test_resnet_import.py",
     "test_healnet.py::test_healnet_trimodal_3d",
     "test_misc.py::test_remat_outputs_and_grads_match",
     "test_misc.py::test_trainer_checkpoint_resume",
