@@ -703,6 +703,7 @@ class SurvivalTrainer:
         test_data: Optional[Dict[str, Any]] = None,
         fold: int = 1,
         missing_ablation: bool = False,
+        missing_semantics: str = "semantic",
         verbose: bool = True,
     ) -> Dict[str, Any]:
         n_train = (
@@ -971,21 +972,47 @@ class SurvivalTrainer:
                 )
             if missing_ablation:
                 results["missing_performance"] = tuple(
-                    self.evaluate(test_data, missing_mode=m)[1]
+                    self.evaluate(
+                        test_data, missing_mode=m,
+                        missing_semantics=missing_semantics,
+                    )[1]
                     for m in ("50", "omic", "wsi")
                 )
         return results
 
     def evaluate(
-        self, data: Dict[str, Any], missing_mode: Optional[str] = None
+        self,
+        data: Dict[str, Any],
+        missing_mode: Optional[str] = None,
+        missing_semantics: str = "semantic",
     ) -> Tuple[float, float]:
         """Eval loss + c-index; optional missing-modality ablation.
 
         missing_mode (cf. `main.py:526-541`): "50" alternates which modality is
         dropped per batch; "omic" drops the omic modality; "wsi" drops the WSI
-        modality — all via presence masks on the same compiled program.
+        modality.
+
+        missing_semantics picks which function the ablation computes:
+
+        - "semantic" (default, the framework's documented behavior): the
+          dropped modality is absent via its presence mask; the kept modality
+          flows through its OWN tower — what the reference's README describes.
+        - "reference": bit-faithful emulation of what the reference's eval
+          harness actually executes. `_sample_missing` (`main.py:526-541`)
+          returns a ONE-element feature list, so the kept tensor is
+          preprocessed and cross-attended as **modality 0** regardless of
+          which modality it is (towers >= 1 hit `tensors[i]` IndexErrors
+          swallowed by the blanket `except: pass`, `healnet.py:235-239`).
+          That is shape-valid only when the kept tensor's channel count
+          equals modality 0's; otherwise tower 0 raises too and the latent
+          is never updated — constant logits for the whole split. Both
+          outcomes are reproduced here (kept tensor routed through tower 0
+          with presence (1, 0, ...), or presence all-zero on channel
+          mismatch). Use this mode for parity comparisons against the live
+          Torch reference.
         """
         assert missing_mode in (None, "50", "omic", "wsi")
+        assert missing_semantics in ("semantic", "reference")
         if self._eval_step is None:
             self._build_steps()
         losses, risks, cens, times, masks = [], [], [], [], []
@@ -1031,7 +1058,6 @@ class SurvivalTrainer:
                 1 if batch.get("patch_offsets") is not None else 0
             )
             if missing_mode is not None and n_mod >= 2:
-                presence = np.ones((self.batch_size, n_mod), dtype=np.float32)
                 if missing_mode == "50":
                     drop = 1 if use_omic else 0
                     use_omic = not use_omic
@@ -1039,7 +1065,40 @@ class SurvivalTrainer:
                     drop = 0
                 else:  # "wsi"
                     drop = 1
-                presence[:, drop] = 0.0
+                presence = np.ones((self.batch_size, n_mod), dtype=np.float32)
+                if missing_semantics == "reference":
+                    assert batch.get("patch_offsets") is None, (
+                        "reference ablation semantics are defined on dense "
+                        "tensor batches (the reference has no arena mode)"
+                    )
+                    keep = 1 - drop
+                    kept = np.asarray(batch["tensors"][keep])
+                    dims = self.module.channel_dims
+                    axes = self.module.num_spatial_axes
+                    if (
+                        kept.shape[-1] == dims[0]
+                        and kept.ndim - 2 == axes[0]
+                    ):
+                        # kept tensor rides as modality 0 (the reference's
+                        # one-element-list routing); remaining slots carry
+                        # single-token dummies that presence zeroes out
+                        b = kept.shape[0]
+                        tensors = [kept] + [
+                            np.zeros(
+                                (b,) + (1,) * axes[i] + (dims[i],),
+                                dtype=kept.dtype,
+                            )
+                            for i in range(1, len(dims))
+                        ]
+                        batch = dict(batch, tensors=tuple(tensors))
+                        presence[:, 1:] = 0.0
+                    else:
+                        # the reference's tower 0 would raise on this shape
+                        # and the except:pass leaves the latent untouched —
+                        # constant logits, reproduced via all-absent masks
+                        presence[:] = 0.0
+                else:
+                    presence[:, drop] = 0.0
                 batch["presence"] = presence
             loss, risk, _ = self._eval_step(
                 self.params, self._place(batch), self._device_arena(),

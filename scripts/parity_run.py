@@ -281,6 +281,7 @@ def run_torch_fold(ref_main, data, split, fold, epochs, rng_offset=0,
         train=float(train_c), val=float(val_c), test=float(test_c),
         stopped_epoch=int(stops[-1]) if stops else int(epochs),
         seconds=time.time() - t0,
+        trained_state={k: v.clone() for k, v in model.state_dict().items()},
     )
     if missing_performance is not None:
         res["ablation"] = {
@@ -349,7 +350,8 @@ def run_tpu_fold(data, split, fold, epochs, init_state, ablation=False):
     tr, va, te = split
     res = trainer.fit(
         subset(tr), subset(va), subset(te), fold=fold,
-        missing_ablation=ablation, verbose=False,
+        missing_ablation=ablation, missing_semantics="reference",
+        verbose=False,
     )
     out = dict(
         train=float(res["train_c_index"]),
@@ -357,6 +359,7 @@ def run_tpu_fold(data, split, fold, epochs, init_state, ablation=False):
         test=float(res["test_c_index"]),
         stopped_epoch=int(res.get("stopped_epoch", epochs)),
         seconds=time.time() - t0,
+        trained_params=jax.tree_util.tree_map(np.asarray, res["params"]),
     )
     if ablation and "missing_performance" in res:
         out["ablation"] = {
@@ -394,6 +397,12 @@ def main():
         help="also run the reference's missing-modality eval ablations "
         "(50/omic/wsi, `main.py:504-541`) on both sides",
     )
+    ap.add_argument(
+        "--save-dir", default=None,
+        help="save each fold's trained weights (torch state_dict + tpu "
+        "params) and the shared splits, for downstream cross-framework "
+        "artifact comparisons (explainer parity)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -424,6 +433,8 @@ def main():
                 ref_main, data, splits[fold - 1], fold, args.epochs,
                 rng_offset=1, ablation=args.ablation,
             )
+            a.pop("trained_state", None)
+            b.pop("trained_state", None)
             diffs = {s: abs(a[s] - b[s]) for s in ("train", "val", "test")}
             if "ablation" in a and "ablation" in b:
                 for m in ("50", "omic", "wsi"):
@@ -438,6 +449,17 @@ def main():
         )
         return
 
+    save_dir = Path(args.save_dir) if args.save_dir else None
+    if save_dir:
+        save_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            save_dir / "splits.npz",
+            **{
+                f"fold{f+1}_{name}": idx
+                for f, split in enumerate(splits)
+                for name, idx in zip(("train", "val", "test"), split)
+            },
+        )
     rows = []
     for fold in range(1, args.folds + 1):
         print(f"===== fold {fold} (torch) =====", flush=True)
@@ -445,13 +467,23 @@ def main():
             ref_main, data, splits[fold - 1], fold, args.epochs,
             ablation=args.ablation,
         )
+        trained_state = t_res.pop("trained_state")
         print(f"torch fold {fold}: {t_res}", flush=True)
         print(f"===== fold {fold} (tpu) =====", flush=True)
         j_res = run_tpu_fold(
             data, splits[fold - 1], fold, args.epochs, init_state,
             ablation=args.ablation,
         )
+        trained_params = j_res.pop("trained_params")
         print(f"tpu fold {fold}: {j_res}", flush=True)
+        if save_dir:
+            import torch
+
+            from healnet_tpu.utils.io import pickle_obj
+
+            torch.save(trained_state, save_dir / f"fold{fold}_torch.pt")
+            torch.save(init_state, save_dir / f"fold{fold}_torch_init.pt")
+            pickle_obj(trained_params, save_dir / f"fold{fold}_tpu_params.pkl")
         rows.append((fold, t_res, j_res))
         _write(args, rows, n)
 
@@ -503,9 +535,17 @@ def _write(args, rows, n):
         lines += [
             "",
             "Missing-modality eval ablation on the trained fold models",
-            "(test split; reference `main.py:504-541` semantics: '50'",
-            "alternates the dropped modality per batch, 'omic' drops omics,",
-            "'wsi' drops the patch bags):",
+            "(test split). Both sides execute the reference's ACTUAL",
+            "`_sample_missing` semantics (`main.py:526-541`): every mode",
+            "returns a one-element feature list, so the kept tensor is",
+            "preprocessed and cross-attended as modality 0 (towers >= 1 hit",
+            "IndexErrors swallowed by `healnet.py:235-239`'s except:pass) —",
+            "the tpu side via `evaluate(missing_semantics='reference')`,",
+            "whose function-level equivalence to the live Torch model is",
+            "unit-tested in tests/test_torch_parity.py. The framework's own",
+            "documented ablation (each modality dropped via its presence",
+            "mask, the kept one in its OWN tower) is the default",
+            "`missing_semantics='semantic'`.",
             "",
             "| fold | mode | torch c-index | tpu c-index | abs diff |",
             "|---|---|---|---|---|",

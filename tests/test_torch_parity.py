@@ -217,3 +217,110 @@ def test_masked_forward_parity(ref_healnet, rng):
         )
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def _ref_sample_missing(features, use_omic, mode):
+    """The reference's `_sample_missing` routing, replicated verbatim in
+    structure (`/root/reference/healnet/main.py:526-541`): every mode returns
+    a ONE-element feature list, so the kept tensor runs as modality 0."""
+    if mode == "50":
+        if use_omic:
+            return [features[0]], False
+        return [features[1]], True
+    if mode == "omic":
+        return [features[1]], use_omic
+    return [features[0]], use_omic  # "wsi"
+
+
+@pytest.mark.parametrize("mode", ["50", "omic", "wsi"])
+def test_reference_ablation_semantics_parity(ref_healnet, rng, mode):
+    """`evaluate(missing_semantics="reference")` computes the SAME function as
+    the reference's eval-time ablation harness: the kept tensor is routed
+    through modality 0's tower (`main.py:526-541` one-element list +
+    `healnet.py:235-239` except:pass), checked here against the live Torch
+    model batch-for-batch on both loss and c-index."""
+    from healnet_tpu.train import SurvivalTrainer
+    from healnet_tpu.train.losses import nll_loss as jax_nll
+    from healnet_tpu.train.metrics import concordance_index_censored as cic
+
+    hp = dict(
+        n_modalities=2, channel_dims=[10, 10], num_spatial_axes=[1, 1],
+        out_dims=4, depth=2, l_c=6, l_d=12, x_heads=1, l_heads=2,
+        cross_dim_head=6, latent_dim_head=6, self_per_cross_attn=0,
+        num_freq_bands=2, max_freq=2.0, snn=True,
+    )
+    tm, jm, params = _build_pair(ref_healnet, **hp)
+    n, bs = 8, 4
+    omic = rng.normal(size=(n, 1, 10)).astype(np.float32)
+    wsi = rng.normal(size=(n, 6, 10)).astype(np.float32)
+    y = rng.integers(0, 4, size=n).astype(np.int32)
+    cen = rng.integers(0, 2, size=n).astype(np.float32)
+    evt = rng.uniform(1, 100, size=n).astype(np.float32)
+
+    # torch side: the reference's own eval routing, batch by batch
+    use_omic = True
+    t_losses, t_risks = [], []
+    for s in range(0, n, bs):
+        feats = [torch.tensor(omic[s:s + bs]), torch.tensor(wsi[s:s + bs])]
+        feats, use_omic = _ref_sample_missing(feats, use_omic, mode)
+        with torch.no_grad():
+            logits = tm(list(feats))
+        hazards = torch.sigmoid(logits)
+        survival = torch.cumprod(1 - hazards, dim=1)
+        t_risks.append((-survival.sum(1)).numpy())
+        t_losses.append(
+            float(jax_nll(
+                hazards=jnp.asarray(hazards.numpy()),
+                survival=jnp.asarray(survival.numpy()),
+                y_disc=jnp.asarray(y[s:s + bs]),
+                censorship=jnp.asarray(cen[s:s + bs]),
+            ))
+        )
+    t_risks = np.concatenate(t_risks)
+    t_c = cic((1 - cen).astype(bool), evt, t_risks, tied_tol=1e-8)[0]
+
+    trainer = SurvivalTrainer(jm, loss_type="nll", batch_size=bs, epochs=1)
+    trainer.params = jax.tree_util.tree_map(jnp.asarray, params)
+    data = {"tensors": (omic, wsi), "y_disc": y, "censorship": cen,
+            "event_time": evt}
+    j_loss, j_c = trainer.evaluate(
+        data, missing_mode=mode, missing_semantics="reference"
+    )
+    assert abs(j_c - t_c) < 1e-6, (j_c, t_c)
+    assert abs(j_loss - float(np.mean(t_losses))) < 1e-4, (j_loss, t_losses)
+
+
+def test_reference_ablation_channel_mismatch_constant(ref_healnet, rng):
+    """When the kept tensor's channels don't match modality 0's, the
+    reference's tower 0 raises into the blanket except:pass and the latent is
+    never updated — constant logits for the whole split. The compat path
+    reproduces that (c-index pinned to 0.5 on both sides)."""
+    from healnet_tpu.train import SurvivalTrainer
+    from healnet_tpu.train.metrics import concordance_index_censored as cic
+
+    hp = dict(
+        n_modalities=2, channel_dims=[10, 14], num_spatial_axes=[1, 1],
+        out_dims=4, depth=1, l_c=6, l_d=12, x_heads=1, l_heads=2,
+        cross_dim_head=6, latent_dim_head=6, self_per_cross_attn=0,
+        num_freq_bands=2, max_freq=2.0, snn=True,
+    )
+    tm, jm, params = _build_pair(ref_healnet, **hp)
+    n, bs = 8, 4
+    omic = rng.normal(size=(n, 1, 10)).astype(np.float32)
+    wsi = rng.normal(size=(n, 6, 14)).astype(np.float32)
+    y = rng.integers(0, 4, size=n).astype(np.int32)
+    cen = np.zeros(n, np.float32)
+    evt = rng.uniform(1, 100, size=n).astype(np.float32)
+
+    with torch.no_grad():
+        logits = tm([torch.tensor(wsi[:bs])])  # mode "omic": wsi as slot 0
+    assert float(logits.std(0).max()) == 0.0  # reference: constant logits
+
+    trainer = SurvivalTrainer(jm, loss_type="nll", batch_size=bs, epochs=1)
+    trainer.params = jax.tree_util.tree_map(jnp.asarray, params)
+    data = {"tensors": (omic, wsi), "y_disc": y, "censorship": cen,
+            "event_time": evt}
+    _, j_c = trainer.evaluate(
+        data, missing_mode="omic", missing_semantics="reference"
+    )
+    assert j_c == pytest.approx(0.5)
