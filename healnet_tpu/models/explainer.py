@@ -216,6 +216,10 @@ class Explainer:
 
         layer = int(np.argmax([np.std(w) for w in omic_attn]))
         scores = omic_attn[layer].mean(axis=(0, 1))  # mean over heads+latents
+        # raw per-feature attention rides along as .npy (the slide path does
+        # the same): downstream tooling and the cross-framework explainer
+        # comparison need the full vector, not just the plotted top-k
+        np.save(self.expl_dir / f"{self.save_name}_omic_attention.npy", scores)
         feats = self.data.features.columns.tolist()
         plot_df = (
             pd.DataFrame({"feature": feats, "attention": scores})

@@ -1,0 +1,382 @@
+"""Cross-framework explainer parity: reference Explainer vs healnet_tpu's.
+
+One torch model is trained with the reference's OWN trainer
+(`/root/reference/healnet/main.py:370-524`, via parity_run.run_torch_fold)
+on the dress cohort in the explainer-friendly layout (omic features as
+tokens, patch-major bags); its trained weights are imported bit-for-bit into
+the Flax model (`healnet_tpu.compat`). Then, on identical high-/low-risk
+test samples (each side's own `get_patients` selection,
+`explainer.py:455-474`):
+
+- torch side: the REAL reference `Explainer.plot_omic_attn` and
+  `plot_slide_attn` (`/root/reference/healnet/models/explainer.py:147-349`)
+  run on the live model's `get_attention_weights()` output — duck-typed
+  around the OpenSlide-only bits (a dummy slide handle + a synthetic canvas
+  stand in for `read_region`; this image has no libopenslide), with the
+  internally-computed plot DataFrames captured from the real call path;
+- tpu side: this framework's REAL `Explainer.run_sample_explanation`
+  (the whole entry point: forward, attention capture, omic ranking, slide
+  heatmap + `.npy` artifacts).
+
+Reported per sample: top-k omics feature overlap, Spearman rank correlation
+over the full per-feature attention vectors, Pearson correlation of the
+per-patch heatmap-source vectors, and top-5 patch overlap
+(VERDICT r3 next #6: done = >= 0.9 rank correlation or a root-caused gap).
+
+Usage:
+  python scripts/explainer_parity.py --root /tmp/healnet_dress/tcga \
+      --cases 200 --epochs 8 --max-patches 800 --out EXPLAINER_PARITY.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from parity_run import _import_reference, make_splits, run_torch_fold  # noqa: E402
+
+
+def load_cohort_tokens(root: str, cases: int, max_patches: int):
+    """Dress cohort in the explainer's token layouts: omic as (features, 1)
+    context tokens (`loaders.py:117`, omic_attention=False) and PATCH-major
+    bags (patches, 1024) — the orientation the reference explainer's
+    heatmap interprets (`explainer.py:94-104`)."""
+    from healnet_tpu.etl import TCGADataset
+    from healnet_tpu.utils.boxdict import Box
+
+    config = Box(
+        {
+            "tcga_path": root,
+            "model": "healnet",
+            "omic_attention": False,      # omic rides as (genes, 1): per-feature tokens
+            "patch_attention": True,      # bags ride patch-major (patches, feat)
+            "survival.subset": "uncensored",
+            "data.feature_dtype": "float32",
+        }
+    )
+    ds = TCGADataset(
+        "brca", config, level=2, n_bins=4, sources=("omic", "slides"),
+        max_patches=max_patches,
+    )
+    n = min(cases, len(ds))
+    t0 = ds._sample(0, pad_to=max_patches)[0]
+    omic_tok, omic_ch = np.asarray(t0[0]).shape
+    feat_dim = np.asarray(t0[1]).shape[-1]
+    omic = np.zeros((n, omic_tok, omic_ch), np.float32)
+    wsi = np.zeros((n, max_patches, feat_dim), np.float32)
+    cen = np.zeros(n, np.float32)
+    evt = np.zeros(n, np.float32)
+    y = np.zeros(n, np.int64)
+    for i in range(n):
+        tensors, c, t, yd, _ = ds._sample(i, pad_to=max_patches)
+        omic[i] = np.asarray(tensors[0], np.float32)
+        sl = np.asarray(tensors[1], np.float32)
+        wsi[i, : min(sl.shape[0], max_patches)] = sl[:max_patches]
+        cen[i], evt[i], y[i] = c, t, yd
+    return ds, (omic, wsi, cen, evt, y)
+
+
+class _DummySlide:
+    """Stands in for the OpenSlide handle: the explainer only reads
+    `level_dimensions` for its coordinate scaling (`explainer.py:219-222`)."""
+
+    def __init__(self, dims):
+        self.level_dimensions = [dims]
+
+
+def torch_side(ref_main, trained_state, hp, sample_tensors, feats_columns,
+               coords, out_dir, save_name):
+    """Run the LIVE reference model + the real reference Explainer methods on
+    one sample; return (omic attention vector, omic top-k features from the
+    real plot call, per-patch heatmap-source vector, its plot df)."""
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.find_spec("healnet.models.explainer")
+    ref_expl_mod = importlib.util.module_from_spec(spec)
+    sys.modules["healnet.models.explainer"] = ref_expl_mod
+    spec.loader.exec_module(ref_expl_mod)
+    RefExplainer = ref_expl_mod.Explainer
+
+    model = ref_main.HealNet(**hp)
+    model.load_state_dict(trained_state)
+    model.eval()
+
+    omic_t = torch.tensor(sample_tensors[0])[None]
+    wsi_t = torch.tensor(sample_tensors[1])[None]
+    n_features, n_patches = omic_t.shape[1], wsi_t.shape[1]
+    with torch.no_grad():
+        model([omic_t, wsi_t])
+    attn = model.get_attention_weights()
+    # the reference's own split (`explainer.py:102-104`)
+    omic_attn = [w for w in attn if w.shape[2] == n_features]
+    slide_attn = [w for w in attn if w.shape[2] == n_patches]
+
+    # duck-typed instance: real methods, no OpenSlide / log-dir plumbing
+    rx = RefExplainer.__new__(RefExplainer)
+    rx.expl_dir = Path(out_dir)
+    rx.expl_dir.mkdir(parents=True, exist_ok=True)
+    rx.save_name = save_name
+    rx.show = False
+    rx.color = "Blues"
+    import seaborn as sns
+
+    rx.pallete = sns.color_palette("Blues", n_colors=20)[::-1]
+    rx.data = types.SimpleNamespace(
+        features=__import__("pandas").DataFrame(columns=feats_columns)
+    )
+    rx.level = 0
+    rx.heatmap = True
+    rx.highlight_patches = True
+
+    captured = {}
+    orig_barplot = ref_expl_mod.sns.barplot
+
+    def cap_barplot(*a, **kw):
+        captured["omic_df"] = kw["data"].copy()
+        return orig_barplot(*a, **kw)
+
+    ref_expl_mod.sns.barplot = cap_barplot
+    try:
+        rx.plot_omic_attn(omic_attn, agg_layers=False, k=20)
+    finally:
+        ref_expl_mod.sns.barplot = orig_barplot
+
+    # slide side: synthetic canvas of the coords grid extents at level 0
+    W = int(coords[:, 0].max()) + 256
+    H = int(coords[:, 1].max()) + 256
+    rx.slide = _DummySlide((W, H))
+    canvas = np.full((H, W, 3), 230, np.uint8)
+
+    orig_ch = RefExplainer.create_heatmap
+
+    def cap_create_heatmap(self, **kw):
+        captured["slide_df"] = kw["df"].copy()
+        return orig_ch(self, **kw)
+
+    rx.create_heatmap = types.MethodType(cap_create_heatmap, rx)
+    # the reference's own `downsample` path keeps the seaborn heatmap render
+    # tractable (a full-res level-0 canvas is tens of thousands of px —
+    # sns.heatmap builds a QuadMesh per pixel); metric vectors are captured
+    # pre-render and are unaffected
+    ds_factor = min(1.0, 1000.0 / max(W, H))
+    rx.plot_slide_attn(canvas, slide_attn, coords, layer=None,
+                       downsample=ds_factor, save_patches=False)
+
+    # the metric vectors, by the reference's own formulas
+    li = int(np.argmax([float(torch.std(w)) for w in omic_attn]))
+    omic_vec = torch.mean(omic_attn[li], dim=1).squeeze().numpy()
+    slide_vec = (
+        torch.stack(slide_attn).mean(dim=0).mean(dim=1).squeeze().numpy()
+    )[: len(coords)]
+    return omic_vec, captured["omic_df"], slide_vec, captured["slide_df"]
+
+
+def tpu_side(ds, module_hp, trained_state, idx, slide_id, out_dir, save_name):
+    """This framework's REAL Explainer.run_sample_explanation on the same
+    sample with the SAME (imported) weights."""
+    import jax
+
+    from healnet_tpu.compat import params_from_torch_state_dict
+    from healnet_tpu.models import HealNet
+    from healnet_tpu.models.explainer import Explainer
+
+    model = HealNet(**module_hp)
+    model.params = jax.tree_util.tree_map(
+        np.asarray, params_from_torch_state_dict(trained_state, model.module)
+    )
+    ex = Explainer.__new__(Explainer)
+    ex.expl_dir = Path(out_dir)
+    ex.expl_dir.mkdir(parents=True, exist_ok=True)
+    ex.show = False
+    ex.data = ds
+    ex.omic_df = ds.omic_df
+    ex.model = model
+    ex.prep_path = (
+        Path(ds.config["tcga_path"]) / "wsi" / "brca_preprocessed_level2"
+    )
+    ex.raw_path = Path(ds.config["tcga_path"]) / "wsi" / "brca"
+    ex.level = 2
+    res = ex.run_sample_explanation(
+        idx, slide_id, save_patches=False, save_name=save_name
+    )
+    attn_vec = np.load(Path(out_dir) / f"{save_name}_attention.npy")
+    omic_vec = np.load(Path(out_dir) / f"{save_name}_omic_attention.npy")
+    return res, attn_vec, omic_vec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/healnet_dress/tcga")
+    ap.add_argument("--cases", type=int, default=200)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--max-patches", type=int, default=800)
+    ap.add_argument("--n-high", type=int, default=2)
+    ap.add_argument("--n-low", type=int, default=2)
+    ap.add_argument("--out", default=str(REPO / "EXPLAINER_PARITY.md"))
+    ap.add_argument("--json", default=str(REPO / "EXPLAINER_PARITY.json"))
+    ap.add_argument("--art-dir", default=str(REPO / "docs" / "explainer_parity"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from scipy import stats
+
+    ref_main = _import_reference()
+    ds, data = load_cohort_tokens(args.root, args.cases, args.max_patches)
+    omic, wsi, cen, evt, y = data
+    n = omic.shape[0]
+    print(f"cohort: {n} cases, omic tokens {omic.shape[1]}x{omic.shape[2]}, "
+          f"bags {wsi.shape[1]}x{wsi.shape[2]}")
+    split = make_splits(n, 1)[0]
+
+    print("training the shared model (reference trainer, fold 1)...")
+    t_res, _ = run_torch_fold(ref_main, data, split, 1, args.epochs)
+    trained_state = t_res.pop("trained_state")
+    print(f"torch: {t_res}")
+
+    from parity_run import BRCA_HP
+
+    hp = dict(
+        n_modalities=2, channel_dims=[omic.shape[-1], wsi.shape[-1]],
+        num_spatial_axes=[1, 1], out_dims=4, num_freq_bands=2,
+        depth=BRCA_HP["depth"], max_freq=2.0, l_c=BRCA_HP["num_latents"],
+        l_d=BRCA_HP["latent_dim"], cross_dim_head=BRCA_HP["cross_dim_head"],
+        latent_dim_head=BRCA_HP["latent_dim_head"],
+        x_heads=BRCA_HP["cross_heads"], l_heads=BRCA_HP["latent_heads"],
+        attn_dropout=BRCA_HP["attn_dropout"],
+        ff_dropout=BRCA_HP["ff_dropout"], weight_tie_layers=False,
+        fourier_encode_data=True,
+        self_per_cross_attn=BRCA_HP["self_per_cross_attn"],
+        snn=BRCA_HP["snn"],
+    )
+
+    # each side's own patient selection must agree (explainer.py:455-474)
+    from healnet_tpu.models.explainer import Explainer as TpuExplainer
+
+    tx = TpuExplainer.__new__(TpuExplainer)
+    tx.omic_df = ds.omic_df
+    tx.test_data_indices = split[2]
+    picks = {}
+    for risk, k in (("high", args.n_high), ("low", args.n_low)):
+        ours = list(tx.get_patients(n=k, risk=risk))
+        # the reference's selection (explainer.py:466-474), same omic_df
+        filtered = ds.omic_df.iloc[split[2]].sort_values(
+            by=["y_disc", "survival_months"], ascending=(risk == "high")
+        )
+        theirs = [s[:-4] for s in filtered.iloc[:k]["slide_id"]]
+        assert ours == theirs, (ours, theirs)
+        picks[risk] = ours
+    print("patient picks:", picks)
+
+    art_dir = Path(args.art_dir)
+    rows = []
+    for risk, ids in picks.items():
+        for rank, sid in enumerate(ids):
+            save_name = f"{risk}_risk_{rank}"
+            pos = int(np.flatnonzero(ds.omic_df["slide_id"] == sid + ".svs")[0])
+            idx = ds.omic_df.index[pos]
+            tensors, _, _, _, _ = ds._sample(pos)
+            sample = [np.asarray(t, np.float32) for t in tensors]
+            import h5py
+
+            with h5py.File(
+                Path(args.root) / "wsi" / "brca_preprocessed_level2"
+                / "patches" / f"{sid}.h5", "r"
+            ) as f:
+                coords = f["coords"][:]
+            coords = coords[: sample[1].shape[0]]
+
+            assert sample[1].shape[0] != sample[0].shape[0], (
+                "bag length equals the omic token count; the reference's "
+                "context-length attention split (explainer.py:102-104) is "
+                "ambiguous for this sample — pick another"
+            )
+            o_vec_t, o_df_t, s_vec_t, s_df_t = torch_side(
+                ref_main, trained_state, hp, sample,
+                ds.features.columns.tolist(), coords,
+                art_dir / "torch", save_name,
+            )
+            res_j, s_vec_j, o_vec_j = tpu_side(
+                ds, hp, trained_state, idx, sid, art_dir / "tpu", save_name
+            )
+            o_df_j = res_j["omic_ranking"]
+            s_vec_j = s_vec_j[: len(coords)]
+
+            top_t = o_df_t["feature"].tolist()
+            top_j = o_df_j["feature"].tolist()
+            overlap = len(set(top_t) & set(top_j)) / max(len(top_t), 1)
+            # rank correlation over the FULL per-feature attention vectors
+            sp_o = stats.spearmanr(o_vec_t, o_vec_j)[0]
+            pe_s = stats.pearsonr(s_vec_t, s_vec_j)[0]
+            top5_t = set(np.argsort(s_vec_t)[::-1][:5])
+            top5_j = set(np.argsort(s_vec_j)[::-1][:5])
+            rows.append(
+                dict(
+                    sample=save_name, slide_id=sid,
+                    omic_top20_overlap=overlap,
+                    omic_spearman_full=float(sp_o),
+                    slide_pearson=float(pe_s),
+                    slide_top5_overlap=len(top5_t & top5_j) / 5,
+                )
+            )
+            print(rows[-1], flush=True)
+
+    agg = {
+        k: float(np.mean([r[k] for r in rows]))
+        for k in ("omic_top20_overlap", "omic_spearman_full",
+                  "slide_pearson", "slide_top5_overlap")
+    }
+    Path(args.json).write_text(json.dumps({"rows": rows, "mean": agg,
+                                           "torch_fold": t_res}, indent=2))
+    lines = [
+        "# EXPLAINER PARITY — reference Explainer vs healnet_tpu Explainer",
+        "",
+        f"One model trained by the reference's own trainer ({args.epochs}",
+        f"epochs, {n} dress cases, patch-major bags capped at",
+        f"{args.max_patches}); weights imported bit-for-bit into the Flax",
+        "model. Torch side runs the REAL reference",
+        "`Explainer.plot_omic_attn`/`plot_slide_attn`",
+        "(`explainer.py:147-349`; OpenSlide handle stubbed — this image has",
+        "no libopenslide — with plot inputs captured from the live call).",
+        "tpu side runs this framework's full",
+        "`Explainer.run_sample_explanation`. Patient selection",
+        "(`get_patients`, `explainer.py:455-474`) agreed exactly on both",
+        "sides. Artifacts under docs/explainer_parity/{torch,tpu}.",
+        "",
+        "| sample | slide | omic top-20 overlap | omic Spearman (full vector) |"
+        " patch-attn Pearson | top-5 patch overlap |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['sample']} | {r['slide_id'][-8:]} |"
+            f" {r['omic_top20_overlap']:.2f} | {r['omic_spearman_full']:.4f} |"
+            f" {r['slide_pearson']:.4f} | {r['slide_top5_overlap']:.2f} |"
+        )
+    lines += [
+        "",
+        f"Means: omic top-20 overlap {agg['omic_top20_overlap']:.2f}, omic",
+        f"Spearman {agg['omic_spearman_full']:.4f}, patch Pearson",
+        f"{agg['slide_pearson']:.4f}, top-5 overlap",
+        f"{agg['slide_top5_overlap']:.2f} (target >= 0.9, VERDICT r3 #6).",
+        "",
+        "Generated by scripts/explainer_parity.py.",
+    ]
+    Path(args.out).write_text("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
