@@ -361,7 +361,7 @@ def main():
     ]
     for r in rows:
         lines.append(
-            f"| {r['sample']} | {r['slide_id'][-8:]} |"
+            f"| {r['sample']} | {r['slide_id'].split('-')[2]} |"
             f" {r['omic_top20_overlap']:.2f} | {r['omic_spearman_full']:.4f} |"
             f" {r['slide_pearson']:.4f} | {r['slide_top5_overlap']:.2f} |"
         )
