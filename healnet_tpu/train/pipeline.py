@@ -161,6 +161,12 @@ class Pipeline:
             res = trainer.fit(
                 train_view, val_view, test_view, fold=fold,
                 missing_ablation=bool(self.config.get("missing_ablation", False)),
+                # "semantic" (default): dropped modality absent via presence
+                # mask; "reference": the reference harness's one-element-list
+                # routing, for like-for-like comparisons (loop.py:evaluate)
+                missing_semantics=str(
+                    self.config.get("train_loop.missing_semantics", "semantic")
+                ),
             )
             for key in fold_metrics:
                 fold_metrics[key].append(res[key])
