@@ -28,7 +28,11 @@ OMIC_D = 2000
 PATCH_D = 2048
 OUT_DIMS = 4
 WARMUP = 3
-ITERS = 20
+# 60 steps ~= 45 ms of device time at the flagship shape: the timed span
+# must DOMINATE the ~30-40 ms relay round-trip each reading pays, or the
+# min-differencing inherits relay jitter (observed as a ~25% cross-session
+# spread at ITERS=20, r4: 9,765 vs 10,744 on identical code)
+ITERS = 60
 
 # Structural floor of the training step in context-passes (BENCH_NOTES.md
 # "round 3" accounting): forward = one fused stats+matmul context read +
@@ -201,10 +205,14 @@ def bench_jax(quantized: bool = False, row: str = "brca") -> dict:
             # The carry must flow INTO each reduction (not just be added
             # after it), else the context read is loop-invariant and XLA
             # hoists it out of the fori_loop — measured as a negative
-            # per-iteration time in r4's first run. `+ eps` fuses into the
-            # reduce, so traffic per iteration is exactly one context read.
+            # per-iteration time in r4's first run. abs(x - eps) is NOT
+            # algebraically separable (sum(x + eps) would simplify to
+            # sum(x) + n*eps, hoistable again); abs fuses into the reduce,
+            # so traffic per iteration is exactly one context read.
             eps = acc * 1e-30
-            return sum(jnp.sum(x.astype(jnp.float32) + eps) for x in xs)
+            return sum(
+                jnp.sum(jnp.abs(x.astype(jnp.float32) - eps)) for x in xs
+            )
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     float(read_loop(ctx, WARMUP))
@@ -217,7 +225,10 @@ def bench_jax(quantized: bool = False, row: str = "brca") -> dict:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n_read = ITERS * 4
+    # 360 reads ~= 60 ms of device time: same relay-jitter dominance rule as
+    # ITERS above (an 80-read span measured 742-975 GB/s across sessions —
+    # the high one ABOVE the v5e HBM peak, i.e. pure differencing error)
+    n_read = ITERS * 6
     t_read = (t_read_min(1 + n_read) - t_read_min(1)) / n_read
     context_passes = dt / t_read if t_read > 0 else float("nan")
     hbm_bw_util = 100.0 * FLOOR_PASSES / context_passes
