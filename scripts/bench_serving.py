@@ -1,8 +1,11 @@
 """Serving latency at WSI scale: ragged 1k-8k bags, no recompiles.
 
-Measures the Predictor's per-request latency on the flagship BRCA
-configuration with bucket-aware ragged serving and arena-mode serving.
-Each request is one micro-batch of 8 patients.
+Measures per-request latency on the flagship BRCA configuration across the
+serving modes: dense fixed-shape, bucket-aware ragged, arena-resident
+(index-only requests), each on the live Predictor, plus the ragged path on
+the ExportedPredictor artifact (live-vs-exported drift check).
+Each request is one micro-batch of 8 patients. Writes BENCH_SERVING.json
+next to the repo root when --write is passed.
 
 Two latency figures per mode, because this harness runs through the axon
 relay tunnel:
@@ -22,14 +25,18 @@ request payload is bytes, not hundreds of MB.
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BUCKETS = [1024, 2048, 4096, 8192]
 OMIC_D, PATCH_D, OUT = 2000, 2048, 4
 N_RAGGED = 8          # ragged e2e requests (each ships ~90MB through the relay)
-N_ARENA = 12          # arena e2e requests (payload = indices only)
+N_ARENA = 24          # arena e2e requests (payload = indices only)
 ARENA_BAGS = 96       # 96 bags x ~2.8k rows x 2048 bf16 ~= 1.1 GB resident
 
 
@@ -96,6 +103,51 @@ def main():
     lat_ms = np.asarray(lat) * 1e3
     n_programs = predictor._predict._cache_size()
 
+    # --- dense fixed-shape serving: every bag already padded to one width
+    dense_bags = rng.normal(size=(8, 2048, PATCH_D)).astype(np.float32)
+    dense_omic = rng.normal(size=(8, 1, OMIC_D)).astype(np.float32)
+    predictor([dense_omic, dense_bags])  # warm
+    lat_d = []
+    for i in range(N_RAGGED):
+        t0 = time.perf_counter()
+        out = predictor([dense_omic, dense_bags])
+        assert out["risk"].shape == (8,)
+        lat_d.append(time.perf_counter() - t0)
+        log(f"dense request {i}: {lat_d[-1]*1e3:.0f} ms")
+    lat_d_ms = np.asarray(lat_d) * 1e3
+
+    # --- exported-artifact serving: the same ragged requests through the
+    # ExportedPredictor (StableHLO artifact), live-vs-exported drift check
+    import tempfile
+
+    from healnet_tpu.serving_export import ExportedPredictor
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/artifact"
+        predictor.export(
+            path, example_shapes=[(1, OMIC_D), (BUCKETS[0], PATCH_D)],
+            widths=BUCKETS,
+        )
+        exported = ExportedPredictor(path)
+        # warm every bucket program
+        exported.predict_ragged([warm_omic, warm_bags])
+        log("exported artifact loaded; bucket programs warm")
+        lat_x = []
+        risk_drift = 0.0
+        for i in range(N_RAGGED):
+            omic, bags = request(i)
+            t0 = time.perf_counter()
+            out_x = exported.predict_ragged([omic, bags])
+            lat_x.append(time.perf_counter() - t0)
+            out_l = predictor.predict_ragged([omic, bags])
+            risk_drift = max(
+                risk_drift,
+                float(np.max(np.abs(out_x["risk"] - out_l["risk"]))),
+            )
+            log(f"exported ragged request {i}: {lat_x[-1]*1e3:.0f} ms")
+    lat_x_ms = np.asarray(lat_x) * 1e3
+    log(f"live-vs-exported max risk drift: {risk_drift:.2e}")
+
     # --- device-side compute latency per bucket (relay-free, chained)
     compute_ms = {}
     for bucket in (2048, 8192):
@@ -161,15 +213,39 @@ def main():
         log(f"arena request {i}: {lat_a[-1]*1e3:.0f} ms")
     lat_a_ms = np.asarray(lat_a) * 1e3
 
-    print(json.dumps({
+    record = {
+        "e2e_dense2048_p50_ms": round(float(np.percentile(lat_d_ms, 50)), 1),
+        "e2e_dense2048_p95_ms": round(float(np.percentile(lat_d_ms, 95)), 1),
         "e2e_ragged_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
         "e2e_ragged_p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+        "e2e_ragged_exported_p50_ms": round(float(np.percentile(lat_x_ms, 50)), 1),
+        "e2e_ragged_exported_p95_ms": round(float(np.percentile(lat_x_ms, 95)), 1),
         "e2e_arena_p50_ms": round(float(np.percentile(lat_a_ms, 50)), 1),
         "e2e_arena_p95_ms": round(float(np.percentile(lat_a_ms, 95)), 1),
+        "e2e_arena_p99_ms": round(float(np.percentile(lat_a_ms, 99)), 1),
         "compute_ms_per_batch8": compute_ms,
+        # on-pod throughput ceiling per mode: 8 patients / device-side step
+        "compute_samples_per_sec": {
+            str(k): round(8e3 / v, 1) for k, v in compute_ms.items()
+        },
+        # tunnel-bound request rate actually observed (arena mode: the
+        # payload-light design; others are relay-H2D-dominated here)
+        "e2e_arena_samples_per_sec": round(
+            8e3 / float(np.percentile(lat_a_ms, 50)), 1
+        ),
+        "live_vs_exported_max_risk_drift": float(f"{risk_drift:.3e}"),
         "batch": 8, "compiled_programs": int(n_programs),
         "buckets": BUCKETS,
-    }))
+        "n_requests": {
+            "dense": N_RAGGED, "ragged": N_RAGGED,
+            "exported": N_RAGGED, "arena": N_ARENA - 1,
+        },
+    }
+    print(json.dumps(record))
+    if "--write" in sys.argv:
+        out_path = Path(__file__).resolve().parent.parent / "BENCH_SERVING.json"
+        out_path.write_text(json.dumps(record, indent=1))
+        log(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
