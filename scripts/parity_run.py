@@ -389,6 +389,13 @@ def main():
         "framework noise floor the cross-framework deltas compare against",
     )
     ap.add_argument(
+        "--floor-offsets", type=int, nargs=2, default=(0, 1),
+        metavar=("A", "B"),
+        help="rng offsets for the two torch runs in --variance-floor; a "
+        "second invocation with fresh offsets (e.g. 2 3) yields five more "
+        "independent floor draws to merge with the first batch",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="run the tpu side on the CPU backend (relay-independent smoke)",
     )
@@ -425,13 +432,14 @@ def main():
         # dropout/shuffle seeds — same comparison structure as torch-vs-tpu
         vrows = []
         for fold in range(1, args.folds + 1):
+            off_a, off_b = args.floor_offsets
             a, _ = run_torch_fold(
                 ref_main, data, splits[fold - 1], fold, args.epochs,
-                ablation=args.ablation,
+                rng_offset=off_a, ablation=args.ablation,
             )
             b, _ = run_torch_fold(
                 ref_main, data, splits[fold - 1], fold, args.epochs,
-                rng_offset=1, ablation=args.ablation,
+                rng_offset=off_b, ablation=args.ablation,
             )
             a.pop("trained_state", None)
             b.pop("trained_state", None)
