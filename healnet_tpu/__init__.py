@@ -9,6 +9,6 @@ fused Pallas attention kernels, static-shape compilation).
 
 from healnet_tpu.models import HealNet, HealNetModule
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = ["HealNet", "HealNetModule", "__version__"]
