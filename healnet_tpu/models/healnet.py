@@ -40,7 +40,7 @@ from flax import linen as nn
 from flax.core import FrozenDict
 
 from healnet_tpu.ops.fourier import positional_encoding
-from healnet_tpu.ops.fused_project import fused_kv_project
+from healnet_tpu.ops.fused_project import fused_kv_project, split_columns
 from healnet_tpu.ops.quantize import QuantizedContext
 from healnet_tpu.models.layers import (
     PreNormAttention,
@@ -352,10 +352,16 @@ class HealNetModule(nn.Module):
                         compute_dt if isinstance(dat, QuantizedContext) else None
                     ),
                 )
-                offset = 0
-                for key, (w, _) in zip(group_keys, folds):
-                    kv_cache[(key, i)] = kv_all[:, :, offset : offset + w.shape[1]]
-                    offset += w.shape[1]
+                # slice per layer group via the concat-VJP split: XLA's
+                # default slice backward pads each layer's dKV to the full
+                # buffer width and accumulates — ~120 MB of HBM traffic per
+                # fusion layer at the kirp-5 shape (probe_kirp_hlo.py);
+                # the disjoint-column gradient is one concat instead
+                for key, sl in zip(
+                    group_keys,
+                    split_columns(kv_all, [w.shape[1] for w, _ in folds]),
+                ):
+                    kv_cache[(key, i)] = sl
 
         # ---- shared latent bottleneck (`healnet.py:143`)
         latents = self.param(

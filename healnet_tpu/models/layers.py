@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from healnet_tpu.ops.activations import gated_gelu, gated_selu
 from healnet_tpu.ops.attention import multihead_attention, split_heads
+from healnet_tpu.ops.fused_project import split_columns
 
 
 def _symmetric_uniform(bound: float) -> Callable:
@@ -173,7 +174,9 @@ class Attention(nn.Module):
         if kv is None:
             ctx = x if context is None else context
             kv = self.to_kv(ctx, scale=ctx_scale, bias=ctx_bias)
-        k, v = jnp.split(kv, 2, axis=-1)
+        # concat-VJP split: jnp.split's backward is two full-width pads +
+        # add per layer (see ops/fused_project.split_columns)
+        k, v = split_columns(kv, (inner, inner))
 
         qh, kh, vh = (split_heads(t, self.heads) for t in (q, k, v))
 

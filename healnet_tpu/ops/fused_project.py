@@ -455,3 +455,43 @@ def fused_kv_project(
     cdt_name = jnp.dtype(out_dtype).name if out_dtype is not None else None
     cfg = (eps, tile, bool(interpret), cdt_name)
     return _pallas_project(cfg, dat, enc, w_all, b_all, scale)
+
+
+def split_columns(x: jnp.ndarray, widths) -> Tuple[jnp.ndarray, ...]:
+    """Split ``x`` along the last axis into contiguous column blocks, with a
+    VJP that CONCATENATES the cotangents.
+
+    XLA's default backward for a column slice is pad-to-full-width, and the
+    per-layer slices of the merged KV buffer then accumulate as a chain of
+    (iota, compare, select, pad, add) ops each touching the FULL
+    (tokens, sum(widths)) buffer — measured at ~120 MB of HBM traffic per
+    fusion layer on the kirp depth-5 step (scripts/probe_kirp_hlo.py), the
+    entire gap between that row and the HBM roofline. The slices are
+    disjoint and jointly exhaustive, so the gradient is exactly one concat:
+    each column is written once, no padding, no accumulation.
+    """
+    widths = tuple(int(w) for w in widths)
+    assert sum(widths) == x.shape[-1], (widths, x.shape)
+    dtype = x.dtype  # static per call site; closure, not a residual
+
+    def _slices(x):
+        out, off = [], 0
+        for w in widths:
+            out.append(jax.lax.slice_in_dim(x, off, off + w, axis=-1))
+            off += w
+        return tuple(out)
+
+    @jax.custom_vjp
+    def _split(x):
+        return _slices(x)
+
+    def _fwd(x):
+        return _slices(x), None
+
+    def _bwd(_, g):
+        # cotangents arrive materialised (instantiate_zeros) in the primal
+        # slice dtype; columns are disjoint so concat is the exact gradient
+        return (jnp.concatenate([gi.astype(dtype) for gi in g], axis=-1),)
+
+    _split.defvjp(_fwd, _bwd)
+    return _split(x)
