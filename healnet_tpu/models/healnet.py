@@ -351,16 +351,20 @@ class HealNetModule(nn.Module):
                     out_dtype=(
                         compute_dt if isinstance(dat, QuantizedContext) else None
                     ),
+                    keep_pad=True,
                 )
                 # slice per layer group via the concat-VJP split: XLA's
                 # default slice backward pads each layer's dKV to the full
                 # buffer width and accumulates — ~120 MB of HBM traffic per
                 # fusion layer at the kirp-5 shape (probe_kirp_hlo.py);
-                # the disjoint-column gradient is one concat instead
-                for key, sl in zip(
-                    group_keys,
-                    split_columns(kv_all, [w.shape[1] for w, _ in folds]),
-                ):
+                # the disjoint-column gradient is one concat instead.
+                # keep_pad: the pallas projection's output keeps its lane
+                # padding and group slices come straight out of it (a final
+                # zero-width or pad-width chunk absorbs the remainder)
+                widths = [w.shape[1] for w, _ in folds]
+                rem = kv_all.shape[-1] - sum(widths)
+                slices = split_columns(kv_all, widths + ([rem] if rem else []))
+                for key, sl in zip(group_keys, slices):
                     kv_cache[(key, i)] = sl
 
         # ---- shared latent bottleneck (`healnet.py:143`)

@@ -86,6 +86,18 @@ _DEF_TILE = 512
 # qualifies, WSI bags always do.
 _MIN_ELEMENTS = 1 << 22
 
+# Backward-pass implementation switch (trace-time): True = the pallas
+# backward kernel (one HBM read of the cotangent), False = the XLA-ops
+# formulation. Module-level so benchmarks can A/B both paths in ONE session
+# (the axon relay drifts ~50% across sessions, swamping cross-run timing).
+# MEASURED (scripts/probe_bwd_ab.py, v5e, interleaved A/B within one
+# process): the kernel LOSES on the kirp depth-5 step, ~1.65 ms vs ~1.38 ms
+# for the XLA formulation, consistent across rounds — the kernel's pad /
+# slice / launch overhead exceeds the single-read saving, and XLA already
+# fuses the f32 convert into its reduction consumers. Default False; kept
+# for same-session A/B and as documentation of the falsified hypothesis.
+_BWD_KERNEL = False
+
 
 from healnet_tpu.ops.pallas_utils import on_tpu as _on_tpu
 from healnet_tpu.ops.pallas_utils import round_up as _round_up
@@ -253,6 +265,122 @@ def _pallas_call(dat, w_pad, enc_proj, enc_stats, aux, scale, d_total, eps,
     )(*operands)
 
 
+def _bwd_kernel(d_total, eps, quantized, with_bsum, *refs):
+    """One (1, tile, F_pad) cotangent block -> d_raw + running reductions.
+
+    Replaces the XLA backward's full-width float32 materialisation of the
+    cotangent (``gf = g.astype(f32)`` feeding d_bias / d_colsum / d_raw as
+    a multi-consumer buffer): the cotangent is read from HBM exactly once,
+    in its storage dtype, and every reduction accumulates across the grid.
+
+    Outputs: d_raw (for the dW matmul, rounding contract identical to the
+    XLA path), dsum2 rows [sum(g); sum((inv*mu)*g)] = [d_bias; -d_colsum],
+    and (quantized+enc only) the batch-sum of inv*g for the encoding-weight
+    gradient.
+    """
+    if quantized:
+        (g_ref, s1_ref, s2_ref, scl_ref, *outs) = refs
+    else:
+        (g_ref, s1_ref, s2_ref, *outs) = refs
+    if with_bsum:
+        d_raw_ref, dsum2_ref, bsum_ref = outs
+    else:
+        d_raw_ref, dsum2_ref = outs
+
+    j = pl.program_id(0)   # token tile (outer)
+    i = pl.program_id(1)   # batch (inner)
+
+    g = g_ref[0].astype(jnp.float32)                   # (tile, F_pad)
+    s1 = s1_ref[0, :, 0]
+    s2 = s2_ref[0, :, 0]
+    mu = s1 / d_total
+    var = s2 / d_total - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+
+    cdt = d_raw_ref.dtype
+    if quantized:
+        # match the XLA path's association: (scale*inv) first, then * g
+        factor = scl_ref[0, :, 0] * inv
+        d_raw_ref[0] = (factor[:, None] * g).astype(cdt)
+    else:
+        d_raw_ref[0] = (inv[:, None] * g).astype(cdt)
+
+    part = jnp.stack([jnp.sum(g, axis=0), jnp.sum((inv * mu)[:, None] * g, axis=0)])
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        dsum2_ref[...] = jnp.zeros_like(dsum2_ref)
+
+    dsum2_ref[...] += part
+
+    if with_bsum:
+        plain = inv[:, None] * g                       # f32, pre-scale
+
+        @pl.when(i == 0)
+        def _init_bsum():
+            bsum_ref[...] = jnp.zeros_like(bsum_ref)
+
+        bsum_ref[...] += plain
+
+
+def _pallas_bwd_call(g_pad, s1, s2, scale, d_total, eps, tile, interpret,
+                     with_bsum, cdt):
+    b, t, f_pad = g_pad.shape
+    tiles = pl.cdiv(t, tile)
+    quantized = scale is not None
+    kernel = functools.partial(
+        _bwd_kernel, float(d_total), eps, quantized, with_bsum
+    )
+    # grid (tiles, batch): batch innermost, so the dsum2 block (revisited
+    # every iteration) and the per-tile bsum block (revisited across the
+    # batch sweep) are both revisited CONSECUTIVELY — the TPU-pallas
+    # accumulation requirement
+    in_specs = [
+        pl.BlockSpec((1, tile, f_pad), lambda j, i: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, 1), lambda j, i: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, 1), lambda j, i: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [g_pad, s1[..., None], s2[..., None]]
+    if quantized:
+        in_specs.append(
+            pl.BlockSpec((1, tile, 1), lambda j, i: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(scale[..., None])
+    out_specs = [
+        pl.BlockSpec((1, tile, f_pad), lambda j, i: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, f_pad), lambda j, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, t, f_pad), cdt),
+        jax.ShapeDtypeStruct((2, f_pad), jnp.float32),
+    ]
+    if with_bsum:
+        out_specs.append(
+            pl.BlockSpec((tile, f_pad), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((t, f_pad), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles, b),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g_pad.size,
+            bytes_accessed=2 * g_pad.size * g_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 def _prep(dat, enc, w_all, b_all, cdt):
     """Host-side (traced) prep: pad F, precompute tiny enc projection/stats."""
     b, t, c = dat.shape
@@ -285,14 +413,19 @@ def _pallas_project(cfg, dat, enc, w_all, b_all, scale=None):
 
 
 def _pallas_forward(cfg, dat, enc, w_all, b_all, scale):
-    eps, tile, interpret, cdt_name = cfg
+    eps, tile, interpret, cdt_name, keep_pad = cfg
     cdt = jnp.dtype(cdt_name) if cdt_name is not None else dat.dtype
     w_pad, enc_proj, enc_stats, aux, f, _ = _prep(dat, enc, w_all, b_all, cdt)
     d_total = w_all.shape[0]
     kv_pad, s1, s2 = _pallas_call(
         dat, w_pad, enc_proj, enc_stats, aux, scale, d_total, eps, tile, interpret
     )
-    return kv_pad[..., :f], s1[..., 0], s2[..., 0]
+    # keep_pad: hand the padded buffer to the caller (which slices layer
+    # groups out of it directly) instead of materialising a full-width
+    # unpadded copy — one (b, tokens, F_pad) write + (b, tokens, F) copy
+    # saved per step
+    kv = kv_pad if keep_pad else kv_pad[..., :f]
+    return kv, s1[..., 0], s2[..., 0]
 
 
 def _pallas_fwd(cfg, dat, enc, w_all, b_all, scale=None):
@@ -301,41 +434,82 @@ def _pallas_fwd(cfg, dat, enc, w_all, b_all, scale=None):
 
 
 def _pallas_bwd(cfg, res, g):
-    eps = cfg[0]
+    eps, tile, interpret, _, keep_pad = cfg
     dat, enc, w_all, b_all, scale, s1, s2 = res
     quantized = scale is not None
     cdt = g.dtype
     c = dat.shape[-1]
     d_total = w_all.shape[0]
+    f = w_all.shape[1]
+    f_pad = _round_up(f, 128)
     colsum = jnp.sum(w_all, axis=0)
 
     mu = s1 / d_total                                          # (b, t)
     var = s2 / d_total - jnp.square(mu)
     inv = jax.lax.rsqrt(var + eps)
 
-    gf = g.astype(jnp.float32)
-    d_bias = jnp.sum(gf, axis=(0, 1))
-    if quantized:
-        # dW_c = (scale*q)^T d_raw = q^T (scale*d_raw): fold the per-token
-        # scale into the tiny d_raw so the context read stays int8
-        d_raw = ((scale * inv)[..., None] * gf).astype(cdt)    # (b, t, F)
-        d_raw_plain = (inv[..., None] * gf).astype(cdt)        # for d_we
-    else:
-        d_raw = (inv[..., None] * gf).astype(cdt)
-        d_raw_plain = d_raw
-    d_wc = jnp.einsum(
-        "btc,btf->cf", dat.astype(cdt), d_raw,
-        preferred_element_type=jnp.float32,
-    )
-    d_colsum = -jnp.sum((inv * mu)[..., None] * gf, axis=(0, 1))
-    d_w = jnp.zeros_like(w_all).at[:c].set(d_wc) + d_colsum[None, :]
-    if enc is not None:
-        d_raw_t = jnp.sum(d_raw_plain.astype(jnp.float32), axis=0)  # (t, F)
-        d_we = jnp.einsum(
-            "te,tf->ef", enc.astype(jnp.float32), d_raw_t,
+    if _BWD_KERNEL:
+        # ---- weight cotangents via the backward kernel: the cotangent is
+        # read from HBM exactly once (in its storage dtype); d_raw, d_bias
+        # and d_colsum come out of that single pass. The XLA formulation
+        # makes g.astype(f32) a multi-consumer buffer.
+        g_pad = g if g.shape[-1] == f_pad else jnp.pad(
+            g, ((0, 0), (0, 0), (0, f_pad - g.shape[-1]))
+        )
+        with_bsum = quantized and enc is not None
+        outs = _pallas_bwd_call(
+            g_pad, s1, s2, scale, d_total, eps, tile, interpret, with_bsum, cdt
+        )
+        d_raw_pad, dsum2 = outs[0], outs[1]
+        d_bias = dsum2[0, :f]
+        d_colsum = -dsum2[1, :f]
+        d_raw = jax.lax.slice_in_dim(d_raw_pad, 0, f, axis=-1)
+        d_wc = jnp.einsum(
+            "btc,btf->cf", dat.astype(cdt), d_raw,
             preferred_element_type=jnp.float32,
         )
-        d_w = d_w.at[c:].add(d_we)
+        d_w = jnp.zeros_like(w_all).at[:c].set(d_wc) + d_colsum[None, :]
+        if enc is not None:
+            if with_bsum:
+                d_raw_t = outs[2][:, :f]                       # (t, F) f32
+            else:
+                # dtype= fuses the f32 convert into the reduction (an
+                # .astype first materialises a full-width f32 copy)
+                d_raw_t = jnp.sum(d_raw, axis=0, dtype=jnp.float32)
+            d_we = jnp.einsum(
+                "te,tf->ef", enc.astype(jnp.float32), d_raw_t,
+                preferred_element_type=jnp.float32,
+            )
+            d_w = d_w.at[c:].add(d_we)
+        gf = jax.lax.slice_in_dim(g, 0, f, axis=-1).astype(jnp.float32)
+    else:
+        # XLA-ops backward (pre-kernel reference; kept A/B-able via
+        # _BWD_KERNEL for same-session benchmarking and as a fallback)
+        g = jax.lax.slice_in_dim(g, 0, f, axis=-1) if g.shape[-1] != f else g
+        gf = g.astype(jnp.float32)
+        d_bias = jnp.sum(gf, axis=(0, 1))
+        if quantized:
+            # dW_c = (scale*q)^T d_raw = q^T (scale*d_raw): fold the
+            # per-token scale into the tiny d_raw so the context read
+            # stays int8
+            d_raw = ((scale * inv)[..., None] * gf).astype(cdt)   # (b, t, F)
+            d_raw_plain = (inv[..., None] * gf).astype(cdt)       # for d_we
+        else:
+            d_raw = (inv[..., None] * gf).astype(cdt)
+            d_raw_plain = d_raw
+        d_wc = jnp.einsum(
+            "btc,btf->cf", dat.astype(cdt), d_raw,
+            preferred_element_type=jnp.float32,
+        )
+        d_colsum = -jnp.sum((inv * mu)[..., None] * gf, axis=(0, 1))
+        d_w = jnp.zeros_like(w_all).at[:c].set(d_wc) + d_colsum[None, :]
+        if enc is not None:
+            d_raw_t = jnp.sum(d_raw_plain.astype(jnp.float32), axis=0)
+            d_we = jnp.einsum(
+                "te,tf->ef", enc.astype(jnp.float32), d_raw_t,
+                preferred_element_type=jnp.float32,
+            )
+            d_w = d_w.at[c:].add(d_we)
 
     # ---- input cotangents: standalone so XLA DCEs the extra context read
     # whenever the context does not require gradients (the training case).
@@ -404,6 +578,7 @@ def fused_kv_project(
     tile: int = _DEF_TILE,
     interpret: Optional[bool] = None,
     out_dtype=None,
+    keep_pad: bool = False,
 ) -> jnp.ndarray:
     """Merged folded-KV projection of a raw context.
 
@@ -419,6 +594,11 @@ def fused_kv_project(
     impl: 'xla', 'pallas', or 'auto' (pallas on TPU for HBM-bound contexts,
     xla otherwise — and always under a mesh, where pallas_call cannot be
     GSPMD-partitioned; the model handles that fallback).
+
+    keep_pad: return the kernel's lane-padded buffer as-is — last dim
+    ``round_up(F, 128)`` with zero columns beyond F — so the caller can
+    slice layer groups straight out of it (no full-width unpadded copy).
+    The XLA impl ignores it (its output is never padded).
 
     Measured on v5e at the flagship shape (8 x 4096 x 2048 bf16,
     scripts/bench_fused_project.py): for the FULL op — projection + folded
@@ -453,7 +633,7 @@ def fused_kv_project(
     # the full token count.
     tile = t if t <= 128 else min(tile, (t // 128) * 128)
     cdt_name = jnp.dtype(out_dtype).name if out_dtype is not None else None
-    cfg = (eps, tile, bool(interpret), cdt_name)
+    cfg = (eps, tile, bool(interpret), cdt_name, bool(keep_pad))
     return _pallas_project(cfg, dat, enc, w_all, b_all, scale)
 
 

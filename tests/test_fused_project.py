@@ -28,7 +28,7 @@ def _mats(rng, b=2, t=384, c=256, e=10, f=252, dtype=jnp.float32):
 
 
 def _pallas(dat, enc, w, bias, tile=128):
-    return _pallas_project((1e-5, tile, True, None), dat, enc, w, bias)
+    return _pallas_project((1e-5, tile, True, None, False), dat, enc, w, bias)
 
 
 def test_forward_parity_f32(rng):
@@ -199,3 +199,60 @@ def test_split_columns_grad_jaxpr_has_no_pads(rng):
     s = str(jax.make_jaxpr(jax.grad(f))(x))
     assert not re.findall(r"\bpad\b", s), s
     assert "concatenate" in s
+
+
+def test_keep_pad_forward_and_grads(rng):
+    """keep_pad=True returns the lane-padded buffer (zero columns beyond F)
+    and must not change parameter gradients: the healnet model slices layer
+    groups straight out of the padded buffer."""
+    import healnet_tpu.ops.fused_project as fp
+
+    dat, enc, w, bias = _mats(rng, t=256, f=252)  # 252 -> pads to 256
+    out = _pallas_project((1e-5, 128, True, None, True), dat, enc, w, bias)
+    f = w.shape[1]
+    assert out.shape[-1] == 256
+    np.testing.assert_array_equal(np.asarray(out[..., f:]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out[..., :f]), np.asarray(_pallas(dat, enc, w, bias)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    def loss(w, bias, keep_pad):
+        o = _pallas_project((1e-5, 128, True, None, keep_pad), dat, enc, w, bias)
+        return jnp.sum(jnp.sin(o[..., :f]))
+
+    g_plain = jax.grad(loss, argnums=(0, 1))(w, bias, False)
+    g_pad = jax.grad(loss, argnums=(0, 1))(w, bias, True)
+    for a, b in zip(g_plain, g_pad):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("keep_pad", [False, True])
+def test_bwd_kernel_grad_parity(rng, keep_pad):
+    """The pallas backward kernel (_BWD_KERNEL=True; measured SLOWER on-chip
+    and therefore default-off, see the module comment) must stay gradient-
+    correct so the same-session A/B switch remains trustworthy."""
+    import healnet_tpu.ops.fused_project as fp
+
+    dat, enc, w, bias = _mats(rng)
+    f = w.shape[1]
+
+    def make_loss(keep):
+        def loss(w, bias):
+            o = _pallas_project((1e-5, 128, True, None, keep), dat, enc, w, bias)
+            return jnp.sum(jnp.sin(o[..., :f]))
+        return loss
+
+    gx = jax.grad(make_loss(False), argnums=(0, 1))(w, bias)
+    old = fp._BWD_KERNEL
+    fp._BWD_KERNEL = True
+    try:
+        gk = jax.grad(make_loss(keep_pad), argnums=(0, 1))(w, bias)
+    finally:
+        fp._BWD_KERNEL = old
+    for a, b in zip(gx, gk):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4
+        )
