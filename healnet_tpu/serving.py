@@ -22,6 +22,7 @@ production inference surface for the framework:
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -341,6 +342,72 @@ class Predictor:
             k: np.stack([slot_outs[i][k] for i in range(n)])
             for k in next(iter(slot_outs.values()))
         }
+
+    def warmup(
+        self,
+        example_shapes: Sequence[Sequence[int]],
+        widths: Optional[Sequence[int]] = None,
+        arena: Optional[bool] = None,
+    ) -> Dict[str, float]:
+        """Compile every serving program before the first live request.
+
+        Without this, a cold deployment pays program compilation (seconds)
+        on whichever LIVE request first hits each bucket width — measured
+        at 4.07 s p99 vs 313 ms p50 on the arena path before this API
+        existed (BENCH_SERVING.json, round 4). Call once at server start.
+
+        Compiles, per bucket width: the masked (ragged) program, and the
+        arena-gather program when a ``feature_arena`` was given; plus the
+        mask-free dense program at the declared last-modality shape. All
+        programs execute once on zeros, synchronously, so the XLA
+        compilation cache is hot before traffic arrives.
+
+        Args:
+            example_shapes: per-sample trailing shapes, one per modality —
+                the same convention as :meth:`export`, e.g.
+                ``[(1, 2000), (4096, 2048)]``. The last modality's token
+                dim is re-padded to each bucket width; earlier modalities
+                warm at their declared shapes.
+            widths: bucket widths to compile; defaults to
+                ``bucket_boundaries`` (or the declared last-modality token
+                dim when no buckets are configured).
+            arena: force the arena path on/off; default warms it iff a
+                ``feature_arena`` was given at construction.
+
+        Returns:
+            ``{"programs": <compiled program count>, "seconds": <wall>}``.
+        """
+        t0 = time.perf_counter()
+        bs = self.batch_size
+        shapes = [tuple(int(d) for d in s) for s in example_shapes]
+        n_mod = len(shapes)
+        lead = [np.zeros((bs,) + s, np.float32) for s in shapes[:-1]]
+        pres = np.ones((bs, n_mod), np.float32)
+        if widths is not None:
+            widths = [int(w) for w in widths]
+        elif self.bucket_boundaries:
+            widths = list(self.bucket_boundaries)
+        else:
+            widths = [shapes[-1][0]]
+        dim = shapes[-1][-1]
+
+        # mask-free dense program at the declared shape
+        dense = np.zeros((bs,) + shapes[-1], np.float32)
+        self._microbatched(bs, lead + [dense], pres, [None] * n_mod, True)
+        # one masked program per bucket width (the ragged path)
+        for w in widths:
+            bag = np.zeros((bs, w, dim), np.float32)
+            masks = [None] * (n_mod - 1) + [np.ones((bs, w), bool)]
+            self._microbatched(bs, lead + [bag], pres, masks, False)
+        warm_arena = (self._arena is not None) if arena is None else arena
+        if warm_arena:
+            offsets = np.zeros(bs, np.int32)
+            for w in widths:
+                self.predict_from_arena(
+                    lead, offsets, np.full(bs, w, np.int32), presence=pres
+                )
+        n = self._predict._cache_size() + self._predict_arena._cache_size()
+        return {"programs": int(n), "seconds": time.perf_counter() - t0}
 
     def export(
         self,

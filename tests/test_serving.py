@@ -318,3 +318,44 @@ def test_ragged_and_arena_accept_missing_lead_modality(module_and_params, rng):
     presence = np.tile([[0.0, 1.0]], (n, 1))
     ref = predictor.predict_ragged([zeros, bags], presence=presence)
     np.testing.assert_allclose(out_r["logits"], ref["logits"], rtol=1e-5, atol=1e-6)
+
+
+def test_warmup_compiles_every_program(module_and_params, rng):
+    """warmup() must compile every program a live request could hit: after
+    it, ragged requests at ANY bucket width and arena requests add zero new
+    programs (the round-4 4.07 s arena p99 was a mid-traffic compile of a
+    width the ad-hoc warm had not covered)."""
+    module, params = module_and_params
+    n, dim = 6, 6
+    lengths = np.asarray([3, 8, 5, 16, 2, 11], np.int32)
+    offsets = np.zeros(n, np.int32)
+    cursor = 0
+    rows = []
+    for i, l in enumerate(lengths):
+        offsets[i] = cursor
+        rows.append(rng.normal(size=(l, dim)).astype(np.float32))
+        cursor += l
+    arena = np.concatenate(rows + [np.zeros((16, dim), np.float32)])
+    omic = rng.normal(size=(n, 1, 12)).astype(np.float32)
+
+    predictor = Predictor(
+        module, params, batch_size=4, bucket_boundaries=[8, 16],
+        feature_arena=arena,
+    )
+    stats = predictor.warmup(example_shapes=[(1, 12), (8, dim)])
+    assert stats["programs"] >= 3  # dense + 2 masked widths (+ arena)
+    assert stats["seconds"] > 0
+
+    frozen = (
+        predictor._predict._cache_size()
+        + predictor._predict_arena._cache_size()
+    )
+    # live traffic across every mode and width: no new compilations
+    bags = [arena[o : o + l] for o, l in zip(offsets, lengths)]
+    predictor.predict_ragged([omic, bags])
+    predictor.predict_from_arena([omic], offsets, lengths)
+    predictor([omic, np.zeros((n, 8, dim), np.float32)])
+    assert (
+        predictor._predict._cache_size()
+        + predictor._predict_arena._cache_size()
+    ) == frozen
