@@ -91,13 +91,25 @@ def multihead_attention(
         # can never change a training trajectory. It is also cheaper: ~10 VPU
         # integer ops per element fused into the softmax pipeline vs a
         # threefry-2x32 bernoulli tensor.
-        from healnet_tpu.ops.hash_dropout import dense_keep_mask, seed_from_rng
+        from healnet_tpu.ops.hash_dropout import (
+            dense_keep_mask,
+            mask_family,
+            seed_from_rng,
+        )
 
         b, h, lq, lkv = attn.shape
-        seed = seed_from_rng(dropout_rng)
-        keep = dense_keep_mask(seed, b * h, lq, lkv, dropout_rate).reshape(
-            b, h, lq, lkv
-        )
+        if mask_family() == "threefry":
+            # torch-family bernoulli masks — the parity falsification
+            # switch (see ops/hash_dropout.mask_family); never the
+            # default: attention_impl must not change trajectories
+            keep = jax.random.bernoulli(
+                dropout_rng, 1.0 - dropout_rate, attn.shape
+            )
+        else:
+            seed = seed_from_rng(dropout_rng)
+            keep = dense_keep_mask(seed, b * h, lq, lkv, dropout_rate).reshape(
+                b, h, lq, lkv
+            )
         attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhij,bhjd->bhid", attn, v)
     b, h, lq, d = out.shape

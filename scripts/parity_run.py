@@ -179,7 +179,7 @@ class _Tee:
 
 
 def run_torch_fold(ref_main, data, split, fold, epochs, rng_offset=0,
-                   ablation=False):
+                   ablation=False, init_only=False):
     import torch
     from torch.utils.data import DataLoader, Dataset
 
@@ -224,6 +224,10 @@ def run_torch_fold(ref_main, data, split, fold, epochs, rng_offset=0,
         snn=BRCA_HP["snn"],
     )
     init_state = {k: v.clone() for k, v in model.state_dict().items()}
+    if init_only:
+        # torch-cache mode: the fold's results come from a previous run's
+        # JSON; only the (manual_seed-deterministic) init weights are needed
+        return None, init_state
     # variance-floor mode: identical init, different stochastic path
     # (dropout draws + shuffle order) — the within-framework analogue of the
     # cross-framework comparison's residual noise
@@ -405,6 +409,18 @@ def main():
         "(50/omic/wsi, `main.py:504-541`) on both sides",
     )
     ap.add_argument(
+        "--tpu-mask-family", choices=("hash", "threefry"), default="hash",
+        help="attention-dropout mask family for the tpu side: 'threefry' "
+        "(torch-family bernoulli draws) isolates the mask-family variable "
+        "behind the 5/5 one-sided test-split offset (VERDICT r4 weak #2)",
+    )
+    ap.add_argument(
+        "--torch-cache", default=None,
+        help="path to a previous run's PARITY json: reuse its torch fold "
+        "results verbatim (init weights are reconstructed from the "
+        "manual_seed(fold) determinism) and run only the tpu side",
+    )
+    ap.add_argument(
         "--save-dir", default=None,
         help="save each fold's trained weights (torch state_dict + tpu "
         "params) and the shared splits, for downstream cross-framework "
@@ -468,14 +484,36 @@ def main():
                 for name, idx in zip(("train", "val", "test"), split)
             },
         )
+    if args.tpu_mask_family != "hash":
+        from healnet_tpu.ops.hash_dropout import mask_family
+
+        mask_family(args.tpu_mask_family)
+        print(f"tpu attention-dropout mask family: {args.tpu_mask_family}")
+
+    torch_cache = None
+    if args.torch_cache:
+        cached = json.loads(Path(args.torch_cache).read_text())
+        torch_cache = {int(r["fold"]): r["torch"] for r in cached}
+        print(f"torch results cached from {args.torch_cache}: "
+              f"folds {sorted(torch_cache)}")
+
     rows = []
     for fold in range(1, args.folds + 1):
         print(f"===== fold {fold} (torch) =====", flush=True)
-        t_res, init_state = run_torch_fold(
-            ref_main, data, splits[fold - 1], fold, args.epochs,
-            ablation=args.ablation,
-        )
-        trained_state = t_res.pop("trained_state")
+        if torch_cache is not None:
+            _, init_state = run_torch_fold(
+                ref_main, data, splits[fold - 1], fold, args.epochs,
+                init_only=True,
+            )
+            t_res = dict(torch_cache[fold])
+            trained_state = None
+            print(f"torch fold {fold} (cached): {t_res}", flush=True)
+        else:
+            t_res, init_state = run_torch_fold(
+                ref_main, data, splits[fold - 1], fold, args.epochs,
+                ablation=args.ablation,
+            )
+            trained_state = t_res.pop("trained_state")
         print(f"torch fold {fold}: {t_res}", flush=True)
         print(f"===== fold {fold} (tpu) =====", flush=True)
         j_res = run_tpu_fold(
@@ -512,6 +550,17 @@ def _write(args, rows, n):
         "(`/root/reference/healnet/main.py:370-628`); both sides are scored",
         "by the same c-index code (sksurv semantics, tests/test_metrics.py).",
         f"Epochs: {args.epochs}. Generated by scripts/parity_run.py.",
+        *(
+            [
+                "",
+                f"TPU attention-dropout mask family: {args.tpu_mask_family}",
+                "(falsification run for the 5/5 one-sided test-split offset:",
+                "'threefry' = torch-family bernoulli masks instead of the",
+                "coordinate-hash family; see ops/hash_dropout.mask_family).",
+            ]
+            if args.tpu_mask_family != "hash"
+            else []
+        ),
         "",
         "| fold | split | torch c-index | tpu c-index | abs diff |",
         "|---|---|---|---|---|",

@@ -151,3 +151,59 @@ def test_masked_rows_finite_at_low_temperature(rng):
         )
         assert np.isfinite(np.asarray(out)).all(), temperature
         np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
+
+
+def test_mask_family_switch(rng):
+    """mask_family('threefry') swaps the attention-dropout mask family to
+    jax.random.bernoulli (the torch-family draws) on the dense XLA path —
+    the parity-falsification switch. Must change the realised mask, keep
+    inverted-dropout scaling, and restore cleanly."""
+    import jax
+
+    from healnet_tpu.ops import hash_dropout
+    from healnet_tpu.ops.attention import multihead_attention
+
+    b, h, lq, lkv, d = 2, 2, 8, 32, 4
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, lkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, lkv, d)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    rate = 0.4
+
+    def run():
+        out, _ = multihead_attention(
+            q, k, v, scale=0.5, dropout_rng=key, dropout_rate=rate
+        )
+        return np.asarray(out)
+
+    assert hash_dropout.mask_family() == "hash"
+    out_hash = run()
+    try:
+        hash_dropout.mask_family("threefry")
+        out_tf = run()
+        out_tf2 = run()
+    finally:
+        hash_dropout.mask_family("hash")
+    # different family -> different realised masks, same determinism
+    assert not np.allclose(out_hash, out_tf)
+    np.testing.assert_array_equal(out_tf, out_tf2)
+    # both families keep the inverted-dropout expectation: averaging over
+    # many seeds must approach the no-dropout output
+    out_ref, _ = multihead_attention(q, k, v, scale=0.5)
+    for family in ("hash", "threefry"):
+        hash_dropout.mask_family(family)
+        try:
+            acc = np.zeros_like(out_hash)
+            n = 48
+            for i in range(n):
+                o, _ = multihead_attention(
+                    q, k, v, scale=0.5,
+                    dropout_rng=jax.random.PRNGKey(100 + i), dropout_rate=rate,
+                )
+                acc += np.asarray(o)
+        finally:
+            hash_dropout.mask_family("hash")
+        err = np.max(np.abs(acc / n - np.asarray(out_ref)))
+        assert err < 0.35, (family, err)
+    with pytest.raises(AssertionError):
+        hash_dropout.mask_family("philox")
