@@ -135,6 +135,7 @@ class Explainer:
         heatmap: bool = True,
         highlight_patches: bool = True,
         save_patches: bool = True,
+        streaming: Optional[bool] = None,
     ) -> List[Dict]:
         results = []
         high = self.get_patients(risk="high", n=n_high)
@@ -146,7 +147,7 @@ class Explainer:
                         idx, slide_id, run_omic=run_omic, run_slides=run_slides,
                         heatmap=heatmap, highlight_patches=highlight_patches,
                         save_patches=save_patches, downsample=downsample,
-                        save_name=f"{label}_{rank}",
+                        save_name=f"{label}_{rank}", streaming=streaming,
                     )
                 )
         return results
@@ -162,7 +163,16 @@ class Explainer:
         save_patches: bool = True,
         downsample: Optional[float] = None,
         save_name: Optional[str] = None,
+        streaming: Optional[bool] = None,
     ) -> Dict:
+        """``streaming``: use the chunked attention-stats capture
+        (:meth:`HealNet.get_attention_stats`) instead of materialising the
+        full probability maps — identical scores (tests/test_streaming_stats
+        + test_explainer_tasks), peak capture memory one KV chunk per site.
+        Default (None) auto-streams once any modality exceeds 4,096 tokens;
+        the dense maps at that size start at hundreds of MB and reach
+        gigabytes at the 50k-token contexts the reference explainer targets
+        (`/root/reference/healnet/models/explainer.py:201-349`)."""
         # run_sample_explanation is also a public entry point: artifacts are
         # named per call (run() passes the high/low-risk rank; direct calls
         # default to the slide id) — a persistent attribute here would make
@@ -184,22 +194,47 @@ class Explainer:
             mask = [None] * len(batched)
             mask[-1] = (np.arange(width) < n_valid)[None, :]
         logits = np.asarray(self.model(batched, mask=mask))
-        weights = self.model.get_attention_weights()
 
         n_omic_tokens = batched[0].shape[1]
+        n_patch_tokens = batched[1].shape[1] if len(batched) > 1 else -1
         result: Dict = {"slide_id": slide_id, "logits": logits}
-        omic_attn = [w for w in weights if w.shape[2] == n_omic_tokens]
-        slide_attn = []
-        if len(batched) > 1:
-            n_patch_tokens = batched[1].shape[1]
-            slide_attn = [w for w in weights if w.shape[2] == n_patch_tokens]
+        if streaming is None:
+            streaming = max(t.shape[1] for t in batched) > 4096
+        omic_wanted = (
+            run_omic and n_omic_tokens == len(self.data.features.columns)
+        )
 
-        if run_omic and omic_attn and n_omic_tokens == len(self.data.features.columns):
-            result["omic_ranking"] = self.plot_omic_attn(omic_attn)
-        if run_slides and slide_attn:
+        if streaming:
+            stats = self.model.get_attention_stats()
+            omic_scores = slide_scores = None
+            omic_stats = [s for s in stats if s["tokens"] == n_omic_tokens]
+            if omic_stats:
+                # max-std layer selection, identical statistic to the dense
+                # path's np.std over the full map (`explainer.py:147-199`)
+                layer = int(np.argmax([s["std"] for s in omic_stats]))
+                omic_scores = omic_stats[layer]["col_mean"].mean(axis=0)
+            slide_stats = [s for s in stats if s["tokens"] == n_patch_tokens]
+            if slide_stats:
+                slide_scores = np.mean(
+                    [s["col_mean"].mean(axis=0) for s in slide_stats], axis=0
+                )
+        else:
+            weights = self.model.get_attention_weights()
+            omic_attn = [w for w in weights if w.shape[2] == n_omic_tokens]
+            slide_attn = [w for w in weights if w.shape[2] == n_patch_tokens]
+            omic_scores = slide_scores = None
+            if omic_attn:
+                layer = int(np.argmax([np.std(w) for w in omic_attn]))
+                omic_scores = omic_attn[layer].mean(axis=(0, 1))
+            if slide_attn:
+                slide_scores = np.stack(slide_attn).mean(axis=(0, 1, 2)).squeeze()
+
+        if omic_wanted and omic_scores is not None:
+            result["omic_ranking"] = self._plot_omic_scores(omic_scores)
+        if run_slides and slide_scores is not None:
             coords = self.load_patch_coords(slide_id)
-            result["heatmap"] = self.plot_slide_attn(
-                slide_id, slide_attn, coords, heatmap=heatmap,
+            result["heatmap"] = self._plot_slide_scores(
+                slide_id, slide_scores, coords, heatmap=heatmap,
                 highlight_patches=highlight_patches, save_patches=save_patches,
                 downsample=downsample,
             )
@@ -208,14 +243,19 @@ class Explainer:
     # ------------------------------------------------------------ omic plot
     def plot_omic_attn(self, omic_attn: List[np.ndarray], k: int = 20):
         """Top-k feature bar chart from the max-std layer (`explainer.py:147-199`)."""
+        layer = int(np.argmax([np.std(w) for w in omic_attn]))
+        scores = omic_attn[layer].mean(axis=(0, 1))  # mean over heads+latents
+        return self._plot_omic_scores(scores, k=k)
+
+    def _plot_omic_scores(self, scores: np.ndarray, k: int = 20):
+        """Bar chart + .npy from a per-feature score vector — shared by the
+        dense (full-map) and streaming (chunk-reduced) capture paths."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         import pandas as pd
 
-        layer = int(np.argmax([np.std(w) for w in omic_attn]))
-        scores = omic_attn[layer].mean(axis=(0, 1))  # mean over heads+latents
         # raw per-feature attention rides along as .npy (the slide path does
         # the same): downstream tooling and the cross-framework explainer
         # comparison need the full vector, not just the plotted top-k
@@ -263,13 +303,32 @@ class Explainer:
         downsample: Optional[float] = None,
     ) -> Optional[np.ndarray]:
         """Attention heatmap over the slide (or coords-space fallback)."""
+        # mean across layers and heads (`explainer.py:207-212`)
+        attn = np.stack(slide_attn).mean(axis=(0, 1, 2)).squeeze()
+        return self._plot_slide_scores(
+            slide_id, attn, coords, patch_size=patch_size, heatmap=heatmap,
+            highlight_patches=highlight_patches, save_patches=save_patches,
+            downsample=downsample,
+        )
+
+    def _plot_slide_scores(
+        self,
+        slide_id: str,
+        attn: np.ndarray,
+        coords: Optional[np.ndarray],
+        patch_size: Tuple[int, int] = (256, 256),
+        heatmap: bool = True,
+        highlight_patches: bool = True,
+        save_patches: bool = True,
+        downsample: Optional[float] = None,
+    ) -> Optional[np.ndarray]:
+        """Heatmap pipeline from a per-patch score vector — shared by the
+        dense and streaming capture paths."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        # mean across layers and heads (`explainer.py:207-212`)
-        attn = np.stack(slide_attn).mean(axis=(0, 1, 2)).squeeze()
         np.save(self.expl_dir / f"{self.save_name}_attention.npy", attn)
         if coords is None or len(coords) == 0:
             print(f"No patch coords for {slide_id}; saved raw attention only.")

@@ -148,6 +148,10 @@ class HealNetModule(nn.Module):
     # cost of one extra forward — the jax.checkpoint trade for deep configs
     # (e.g. KIRP depth 5) or giant contexts
     remat: bool = False
+    # KV chunk width for store_attention="stats" (streaming WSI-scale
+    # inspection): peak capture memory is (b, h, l_c, stats_chunk) per site
+    # instead of the full (b, h, l_c, tokens) probability map
+    stats_chunk: int = 2048
 
     def input_dims(self) -> List[int]:
         """Per-modality context dims after Fourier concat (`healnet.py:134-139`)."""
@@ -263,6 +267,7 @@ class HealNetModule(nn.Module):
                     attention_impl=self.attention_impl,
                     dtype=self.dtype,
                     mesh=self.mesh,
+                    stats_chunk=self.stats_chunk,
                     name=f"layer{key}_cross_attn_m{m}",
                 )
                 for m in range(self.n_modalities)
@@ -296,6 +301,7 @@ class HealNetModule(nn.Module):
                     dropout=self.attn_dropout,
                     attention_impl=self.attention_impl,
                     dtype=self.dtype,
+                    stats_chunk=self.stats_chunk,
                     name=f"layer{key}_self_attn_b{blk}",
                 )
                 for blk in range(self.self_per_cross_attn)
@@ -453,6 +459,7 @@ class HealNet:
         attention_impl: str = "xla",
         projection_impl: str = "auto",
         dtype: Any = None,
+        stats_chunk: int = 2048,
     ):
         assert len(channel_dims) == len(num_spatial_axes), (
             "input channels and input axis must be of the same length"
@@ -484,6 +491,7 @@ class HealNet:
             attention_impl=attention_impl,
             projection_impl=projection_impl,
             dtype=dtype,
+            stats_chunk=stats_chunk,
         )
         # Attention-weight capture policy. The reference stores weights on every
         # forward (`healnet.py:420`), but for WSI-scale contexts that means
@@ -698,6 +706,75 @@ class HealNet:
         )
         self._attn_weights = self._collect_attention(state.get("intermediates", {}))
         return self._attn_weights
+
+    def get_attention_stats(self) -> List[Dict[str, Any]]:
+        """Streaming attention statistics of the last forward pass.
+
+        The WSI-scale alternative to :meth:`get_attention_weights`: replays
+        the pass with ``store_attention="stats"``, where every attention
+        site computes exact column/std reductions of its probability map in
+        KV chunks (``ops/attention.streaming_attention_stats``) — peak
+        capture memory is ``(b, h, l_c, stats_chunk)`` per site instead of
+        the full ``(b, h, l_c, tokens)`` map (gigabytes at the 50k-token
+        contexts the Explainer targets,
+        `/root/reference/healnet/models/explainer.py:201-349`).
+
+        Returns one dict per module in the reference
+        ``get_attention_weights`` order, each with:
+            ``col_mean``: (b, tokens) — per-key column mean over heads and
+                latent queries (what heatmaps/rankings consume; equals
+                ``weights.mean(axis=(0, 1))`` of the dense map for b=1);
+            ``mean``, ``std``: scalars over the dense-map elements (the
+                reference's ``np.std(w)`` layer-selection statistic);
+            ``kind``, ``index``, ``tokens``.
+        """
+        if self.store_attention == "off" or self._last_inputs is None:
+            return []
+        prepared, presence, kv_masks, rng, deterministic = self._last_inputs
+        _, state = self._apply(
+            self.params,
+            prepared,
+            presence,
+            kv_masks,
+            rng,
+            deterministic=deterministic,
+            return_embeddings=False,
+            store_attention="stats",
+        )
+        intermediates = state.get("intermediates", {})
+        order = attention_module_order(
+            self.module.depth,
+            self.module.n_modalities,
+            self.module.self_per_cross_attn,
+            self.module.weight_tie_layers,
+        )
+        out: List[Dict[str, Any]] = []
+        for kind, idx, _first, last in order:
+            tag = (
+                f"attn_l{last}_cross_m{idx}" if kind == "cross"
+                else f"attn_l{last}_self_b{idx}"
+            )
+            if tag not in intermediates:
+                continue
+            s = intermediates[tag][-1]  # torch keeps the LAST invocation
+            heads = (
+                self.module.x_heads if kind == "cross" else self.module.l_heads
+            )
+            colsum = np.asarray(s["colsum"], np.float64)
+            count = float(s["count"])
+            mean = float(s["psum"]) / count
+            var = max(float(s["psumsq"]) / count - mean * mean, 0.0)
+            out.append(
+                {
+                    "kind": kind,
+                    "index": idx,
+                    "tokens": colsum.shape[-1],
+                    "col_mean": colsum / (heads * self.module.l_c),
+                    "mean": mean,
+                    "std": float(np.sqrt(var)),
+                }
+            )
+        return out
 
     def count_parameters(self) -> int:
         from healnet_tpu.utils.train_utils import count_parameters

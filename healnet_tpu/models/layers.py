@@ -142,6 +142,10 @@ class Attention(nn.Module):
     # the explicit sequence-parallel path: KV stays sharded over `seq`, only
     # online-softmax partials cross the interconnect (never the full context)
     mesh: Any = None
+    # KV chunk width for return_weights="stats" (streaming inspection):
+    # peak attention memory is (b, h, lq, stats_chunk) instead of the full
+    # (b, h, lq, lkv) map
+    stats_chunk: int = 2048
 
     def setup(self):
         inner = self.dim_head * self.heads
@@ -202,6 +206,20 @@ class Attention(nn.Module):
                 ),
             )
             return nn.leaky_relu(self.to_out(out), negative_slope=1e-2), None
+
+        if return_weights == "stats":
+            # streaming inspection: exact column/std reductions of the
+            # probability map without materialising it (WSI-scale capture,
+            # see ops/attention.streaming_attention_stats). Dropout replays
+            # bit-identically via the coordinate-hash family.
+            from healnet_tpu.ops.attention import streaming_attention_stats
+
+            out, stats = streaming_attention_stats(
+                qh, kh, vh, scale=scale, temperature=self.temperature,
+                kv_mask=kv_mask, chunk=self.stats_chunk,
+                dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+            )
+            return nn.leaky_relu(self.to_out(out), negative_slope=1e-2), stats
 
         use_flash = self._should_use_flash(
             return_weights, dropout_rate, qh.shape[0], qh.shape[2], kh.shape[2]
@@ -320,6 +338,7 @@ class PreNormAttention(nn.Module):
     attention_impl: str = "xla"
     dtype: Any = None
     mesh: Any = None
+    stats_chunk: int = 2048
 
     def setup(self):
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -335,6 +354,7 @@ class PreNormAttention(nn.Module):
             attention_impl=self.attention_impl,
             dtype=self.dtype,
             mesh=self.mesh,
+            stats_chunk=self.stats_chunk,
         )
 
     def kv_fold(self):
