@@ -10,8 +10,12 @@ the same YAML sweep schema locally:
 - ``method: bayes`` — Gaussian-ish sequential model-based search: after a
   random warmup, candidates are scored by a k-nearest-neighbour surrogate
   over the normalised parameter space (expected improvement via best-of-k
-  neighbours), which captures most of wandb's Bayes benefit without a GP
-  stack.
+  neighbours). MEASURED (scripts/bench_sweep.py, docs/SWEEP_BENCH.md,
+  30 trials x 10 seeds): 1.3-3.3x lower simple regret than random search on
+  deterministic multimodal surfaces (Branin, Hartmann-3), but statistically
+  indistinguishable from random under realistic fold-averaged c-index
+  evaluation noise (sigma=0.02) — with noisy objectives, spend budget on
+  more folds per trial before trusting any surrogate.
 
 Trial parameters are applied onto the flattened config (dotted keys), the
 objective (e.g. ``mean_test_c_index``) is read from the run's returned

@@ -506,6 +506,8 @@ def main():
                 init_only=True,
             )
             t_res = dict(torch_cache[fold])
+            if not args.ablation:
+                t_res.pop("ablation", None)
             trained_state = None
             print(f"torch fold {fold} (cached): {t_res}", flush=True)
         else:
@@ -608,7 +610,7 @@ def _write(args, rows, n):
             "|---|---|---|---|---|",
         ]
         for fold, t_res, j_res in rows:
-            if "ablation" not in t_res:
+            if "ablation" not in t_res or "ablation" not in j_res:
                 continue
             for m in ("50", "omic", "wsi"):
                 d = abs(t_res["ablation"][m] - j_res["ablation"][m])
