@@ -47,12 +47,69 @@ def log(msg):
 T0 = time.perf_counter()
 
 
+def _arena_leg(jax, jnp, module, params, rng, lengths_pool, warm_stats):
+    """Arena-mode measurement: resident bags, index-only requests, prewarm
+    via Predictor.warmup. Returns the arena record fields (plus the raw
+    latencies under '_lat_ms' for the caller's aggregate record)."""
+    from healnet_tpu.serving import Predictor
+
+    total = int(lengths_pool[:ARENA_BAGS].sum())
+    arena = jnp.asarray(
+        rng.normal(size=(total + 8192, PATCH_D)), jnp.bfloat16
+    )
+    offsets = np.zeros(ARENA_BAGS, np.int32)
+    cursor = 0
+    for i, l in enumerate(lengths_pool[:ARENA_BAGS]):
+        offsets[i] = cursor
+        cursor += int(l)
+    log(f"uploading {arena.nbytes/1e9:.1f} GB arena (one-time)")
+    predictor_a = Predictor(
+        module, params, batch_size=8, bucket_boundaries=BUCKETS,
+        feature_arena=arena,
+    )
+    omic_all = rng.normal(size=(ARENA_BAGS, 1, OMIC_D)).astype(np.float32)
+    # prewarm ALL bucket widths' arena programs — before this API, widths
+    # first hit by a live request compiled inline (the round-4 4.07 s p99)
+    warm_a = predictor_a.warmup(
+        example_shapes=[(1, OMIC_D), (2048, PATCH_D)], widths=BUCKETS
+    )
+    log(f"arena resident; warmup {warm_a['programs']} programs in "
+        f"{warm_a['seconds']:.1f}s")
+    lat_a = []
+    for i in range(N_ARENA):
+        sel = slice((i * 8) % (ARENA_BAGS - 8), (i * 8) % (ARENA_BAGS - 8) + 8)
+        t0 = time.perf_counter()
+        out = predictor_a.predict_from_arena(
+            [omic_all[sel]], offsets[sel], lengths_pool[sel]
+        )
+        assert out["risk"].shape == (8,)
+        lat_a.append(time.perf_counter() - t0)
+        log(f"arena request {i}: {lat_a[-1]*1e3:.0f} ms")
+    lat_a_ms = np.asarray(lat_a) * 1e3
+    rec = {
+        "e2e_arena_p50_ms": round(float(np.percentile(lat_a_ms, 50)), 1),
+        "e2e_arena_p95_ms": round(float(np.percentile(lat_a_ms, 95)), 1),
+        "e2e_arena_p99_ms": round(float(np.percentile(lat_a_ms, 99)), 1),
+        "e2e_arena_samples_per_sec": round(
+            8e3 / float(np.percentile(lat_a_ms, 50)), 1
+        ),
+        "warmup_arena_seconds": round(float(warm_a["seconds"]), 1),
+        "warmup_arena_programs": int(warm_a["programs"]),
+        "_lat_ms": lat_a_ms,
+    }
+    if warm_stats is not None:
+        rec["warmup_seconds"] = round(float(warm_stats["seconds"]), 1)
+    return rec
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from healnet_tpu.models import HealNetModule
     from healnet_tpu.serving import Predictor
+
+    arena_only = "--arena-only" in sys.argv
 
     module = HealNetModule(
         n_modalities=2, channel_dims=(OMIC_D, PATCH_D), num_spatial_axes=(1, 1),
@@ -74,6 +131,22 @@ def main():
 
     # --- ragged serving: requests of 8 patients with log-normal bag sizes
     predictor = Predictor(module, params, batch_size=8, bucket_boundaries=BUCKETS)
+
+    if arena_only:
+        # re-measure ONLY warmup + the arena mode (the payload-light design;
+        # the other modes are relay-H2D-dominated and hours-slow on a slow
+        # tunnel) and merge the updated fields into the existing JSON
+        record = _arena_leg(jax, jnp, module, params, rng, lengths_pool, None)
+        record.pop("_lat_ms")
+        record["n_requests_arena"] = N_ARENA
+        out_path = Path(__file__).resolve().parent.parent / "BENCH_SERVING.json"
+        merged = json.loads(out_path.read_text()) if out_path.exists() else {}
+        merged.update(record)
+        print(json.dumps(record))
+        if "--write" in sys.argv:
+            out_path.write_text(json.dumps(merged, indent=1))
+            log(f"merged arena fields into {out_path}")
+        return
 
     def request(i):
         ls = lengths_pool[i * 8 : (i + 1) * 8]
@@ -186,39 +259,9 @@ def main():
         log(f"compute latency bucket {bucket}: {compute_ms[bucket]} ms")
 
     # --- arena-mode serving: bags resident in HBM, index-only requests
-    total = int(lengths_pool[:ARENA_BAGS].sum())
-    arena = jnp.asarray(
-        rng.normal(size=(total + 8192, PATCH_D)), jnp.bfloat16
-    )
-    offsets = np.zeros(ARENA_BAGS, np.int32)
-    cursor = 0
-    for i, l in enumerate(lengths_pool[:ARENA_BAGS]):
-        offsets[i] = cursor
-        cursor += int(l)
-    log(f"uploading {arena.nbytes/1e9:.1f} GB arena (one-time)")
-    predictor_a = Predictor(
-        module, params, batch_size=8, bucket_boundaries=BUCKETS,
-        feature_arena=arena,
-    )
-    omic_all = rng.normal(size=(ARENA_BAGS, 1, OMIC_D)).astype(np.float32)
-    # prewarm ALL bucket widths' arena programs — before this API, widths
-    # first hit by a live request compiled inline (the round-4 4.07 s p99)
-    warm_a = predictor_a.warmup(
-        example_shapes=[(1, OMIC_D), (2048, PATCH_D)], widths=BUCKETS
-    )
-    log(f"arena resident; warmup {warm_a['programs']} programs in "
-        f"{warm_a['seconds']:.1f}s")
-    lat_a = []
-    for i in range(N_ARENA):
-        sel = slice((i * 8) % (ARENA_BAGS - 8), (i * 8) % (ARENA_BAGS - 8) + 8)
-        t0 = time.perf_counter()
-        out = predictor_a.predict_from_arena(
-            [omic_all[sel]], offsets[sel], lengths_pool[sel]
-        )
-        assert out["risk"].shape == (8,)
-        lat_a.append(time.perf_counter() - t0)
-        log(f"arena request {i}: {lat_a[-1]*1e3:.0f} ms")
-    lat_a_ms = np.asarray(lat_a) * 1e3
+    arena_rec = _arena_leg(jax, jnp, module, params, rng, lengths_pool, warm_stats)
+    lat_a_ms = arena_rec.pop("_lat_ms")
+    warm_a = {"seconds": arena_rec["warmup_arena_seconds"]}
 
     record = {
         "e2e_dense2048_p50_ms": round(float(np.percentile(lat_d_ms, 50)), 1),
