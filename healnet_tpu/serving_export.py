@@ -258,6 +258,31 @@ class ExportedPredictor:
             self._fns[name] = call
         return self._fns[name]
 
+    def warmup(self) -> Dict[str, float]:
+        """Deserialize + execute every exported program once on zeros.
+
+        Mirrors :meth:`healnet_tpu.serving.Predictor.warmup`: without it, a
+        cold deployment pays program deserialization + XLA compilation on
+        whichever LIVE request first hits each bucket width. All shapes come
+        from the manifest, so no arguments are needed.
+
+        Returns ``{"programs": n, "seconds": wall}``.
+        """
+        import time
+
+        t0 = time.perf_counter()
+        bs = self.batch_size
+        zeros = [np.zeros((bs, *t), np.float32) for t in self._tails]
+        self(zeros)  # the dense program
+        dim = self._tails[-1][-1]
+        for w in self._widths:
+            bags = [np.zeros((w, dim), np.float32) for _ in range(bs)]
+            self.predict_ragged(list(zeros[:-1]) + [bags])
+        return {
+            "programs": 1 + len(self._widths),
+            "seconds": time.perf_counter() - t0,
+        }
+
     def _zeros_out(self, n: int) -> Dict[str, np.ndarray]:
         nb = int(self.manifest["out_dims"])
         return {

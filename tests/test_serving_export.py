@@ -249,3 +249,24 @@ def test_exported_artifact_needs_no_model_code(module_and_params, tmp_path, rng)
          rng.normal(size=(2, 5, 6)).astype(np.float32)]
     )
     assert out["logits"].shape == (2, 4)
+
+
+def test_exported_warmup_compiles_every_program(module_and_params, tmp_path, rng):
+    """ExportedPredictor.warmup deserializes + executes the dense program
+    and every bucket-width program; live traffic afterwards loads nothing."""
+    module, params = module_and_params
+    boundaries = [8, 16]
+    live = Predictor(module, params, batch_size=4, bucket_boundaries=boundaries)
+    live.export(
+        tmp_path / "art", example_shapes=[(1, 12), (5, 6)], widths=boundaries
+    )
+    served = ExportedPredictor(tmp_path / "art")
+    stats = served.warmup()
+    assert stats["programs"] == 3  # dense + w8 + w16
+    assert set(served._fns) == {"predict", "predict_w8", "predict_w16"}
+    loaded = dict(served._fns)
+    omic = rng.normal(size=(3, 1, 12)).astype(np.float32)
+    bags = [rng.normal(size=(ln, 6)).astype(np.float32) for ln in (3, 9, 16)]
+    out = served.predict_ragged([omic, bags])
+    assert out["risk"].shape == (3,)
+    assert served._fns == loaded  # nothing new deserialized by live traffic
