@@ -415,6 +415,14 @@ def main():
         "behind the 5/5 one-sided test-split offset (VERDICT r4 weak #2)",
     )
     ap.add_argument(
+        "--fold-start", type=int, default=1,
+        help="first fold to run (1-based). With --json pointing at an "
+        "existing file, earlier folds' results are loaded from it and the "
+        "new folds are appended — lets a multi-fold run proceed one process "
+        "per fold (the single-process run leaks host buffers across folds "
+        "under the relay and was OOM-killed at fold 3 of 5)",
+    )
+    ap.add_argument(
         "--torch-cache", default=None,
         help="path to a previous run's PARITY json: reuse its torch fold "
         "results verbatim (init weights are reconstructed from the "
@@ -498,7 +506,16 @@ def main():
               f"folds {sorted(torch_cache)}")
 
     rows = []
-    for fold in range(1, args.folds + 1):
+    if args.fold_start > 1 and Path(args.json).exists():
+        # resume: earlier folds' results come from the existing JSON
+        prior = json.loads(Path(args.json).read_text())
+        rows = [
+            (int(r["fold"]), r["torch"], r["tpu"])
+            for r in prior
+            if int(r["fold"]) < args.fold_start
+        ]
+        print(f"resumed folds {[f for f, _, _ in rows]} from {args.json}")
+    for fold in range(args.fold_start, args.folds + 1):
         print(f"===== fold {fold} (torch) =====", flush=True)
         if torch_cache is not None:
             _, init_state = run_torch_fold(
