@@ -64,12 +64,23 @@ def build(row):
     )
 
 
-def make_loop(module, batch, flat):
+def make_loop(module, batch, flat, flat_l1=False):
     params = module.init(jax.random.PRNGKey(0), batch["tensors"])["params"]
     opt = make_optimizer(8e-3, total_steps=1000)
     if flat:
         opt = optax.flatten(opt)
     opt_state = opt.init(params)
+
+    if flat_l1:
+        # one abs-sum over the ravelled vector: the per-leaf abs/sum fwd ops
+        # and per-leaf sign bwd ops collapse to a single fused chain (+ the
+        # concat and its slice-cotangents)
+        from jax.flatten_util import ravel_pytree
+
+        def l1(p):
+            return jnp.sum(jnp.abs(ravel_pytree(p)[0]))
+    else:
+        l1 = l1_norm
 
     def loss_fn(p, key):
         logits = module.apply(
@@ -77,7 +88,7 @@ def make_loop(module, batch, flat):
             rngs={"dropout": key},
         )
         surv, _ = survival_loss(logits.astype(jnp.float32), batch, loss_type="nll")
-        return surv / 16.0 + 1e-6 * l1_norm(p)
+        return surv / 16.0 + 1e-6 * l1(p)
 
     def train_step(params, opt_state, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, key)
@@ -115,11 +126,16 @@ def main():
         "sample_mask": jnp.ones(BATCH, dtype=jnp.float32),
     }
     results = {}
+    combos = {
+        "kirp": ((False, False), (True, False), (False, True), (True, True)),
+        "brca": ((False, False), (True, True)),
+    }
     for row in ("kirp", "brca"):
         module = build(row)
-        for flat in (False, True):
-            tag = f"{row}_{'flat' if flat else 'pytree'}"
-            loop, args = make_loop(module, batch, flat)
+        for flat, flat_l1 in combos[row]:
+            tag = (f"{row}_{'flat' if flat else 'pytree'}"
+                   f"{'_flatl1' if flat_l1 else ''}")
+            loop, args = make_loop(module, batch, flat, flat_l1)
             dt = measure(loop, args)
             results[tag + "_ms"] = round(dt * 1e3, 4)
             results[tag + "_sps"] = round(BATCH / dt, 1)
