@@ -124,7 +124,10 @@ def make_sharded_train_step(
                 logits, batch, loss_type=loss_type, alpha=alpha,
                 class_weights=class_weights,
             )
-            reg = l1 * l1_norm(p) if l1 > 0 else 0.0
+            # flat=False: ravelling TP-sharded params into one vector would
+            # insert an all-gather per step; per-leaf abs-sums reduce shard-
+            # locally and psum the scalars instead
+            reg = l1 * l1_norm(p, flat=False) if l1 > 0 else 0.0
             return surv / gc_compat + reg, (surv, risk)
 
         (_, (surv, risk)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -502,7 +502,13 @@ class SurvivalTrainer:
             progress_hyperparams,
         )
 
-        self._opt = make_progress_optimizer(self.cycle_momentum)
+        # flat (ravelled) Adam/L1 are bit-identical per element and collapse
+        # the per-leaf fusion sprawl (material for deep untied configs), but
+        # a ravelled vector cannot follow tensor-parallel param shardings —
+        # it would gather every shard per step. Replicated-param meshes (DP/
+        # SP) keep the flat path.
+        flat = self.mesh is None or not self.tensor_parallel
+        self._opt = make_progress_optimizer(self.cycle_momentum, flatten=flat)
         l1 = 0.0 if self._reg_skip() else self.l1
         gc = float(self.gc_compat)
 
@@ -512,7 +518,7 @@ class SurvivalTrainer:
                     p, batch, deterministic=False, rng=rng, arena=arena
                 )
                 surv_loss, risk = self._surv_loss(logits, batch, cw)
-                reg = l1 * l1_norm(p) if l1 > 0 else 0.0
+                reg = l1 * l1_norm(p, flat=flat) if l1 > 0 else 0.0
                 total = surv_loss / gc + reg + model_loss
                 return total, (surv_loss, risk)
 

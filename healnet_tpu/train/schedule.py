@@ -120,12 +120,25 @@ def onecycle_beta1_at(
     return jnp.where(frac < pct_start, phase1, phase2)
 
 
-def make_progress_optimizer(cycle_momentum: bool = True) -> optax.GradientTransformation:
+def make_progress_optimizer(
+    cycle_momentum: bool = True, flatten: bool = True
+) -> optax.GradientTransformation:
     """Adam whose LR (and beta1 when cycling) are written into the
     ``inject_hyperparams`` state each step by :func:`progress_hyperparams` —
-    the returned transformation itself is horizon-free."""
+    the returned transformation itself is horizon-free.
+
+    ``flatten`` wraps the transformation in :func:`optax.flatten`: Adam's
+    elementwise update runs over ONE ravelled vector instead of one fused
+    chain per parameter leaf. Numerically bit-identical for all-fp32 params
+    (Adam has no cross-element reductions; ravel/unravel are exact), but it
+    collapses ~2 executed XLA fusions per leaf into a constant handful —
+    material for deep untied configs (kirp depth 5: ~130 leaves). The
+    wrapper keeps the ``InjectHyperparamsState`` surface (``.count``,
+    ``.hyperparams``) that :func:`progress_hyperparams` writes into.
+    """
     b1 = 0.95 if cycle_momentum else 0.9
-    return optax.inject_hyperparams(optax.adam)(learning_rate=0.0, b1=b1)
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=0.0, b1=b1)
+    return optax.flatten(opt) if flatten else opt
 
 
 def progress_hyperparams(
@@ -161,8 +174,14 @@ def make_optimizer(
     cycle_momentum: bool = True,
     pct_start: float = 0.3,
     weight_decay: Optional[float] = None,
+    flatten: bool = True,
 ) -> optax.GradientTransformation:
-    """Adam + OneCycle (LR and beta1), torch-default shape."""
+    """Adam + OneCycle (LR and beta1), torch-default shape.
+
+    ``flatten``: run the elementwise update over one ravelled vector (see
+    :func:`make_progress_optimizer`) — bit-identical for fp32 pytrees,
+    fewer executed fusions per step.
+    """
     lr = onecycle_lr(max_lr, total_steps, pct_start=pct_start)
     if cycle_momentum:
         b1 = onecycle_beta1(total_steps, pct_start=pct_start)
@@ -176,4 +195,4 @@ def make_optimizer(
             else float(weight_decay)
     if weight_decay is not None and weight_decay not in (0, 0.0):
         opt = optax.chain(optax.add_decayed_weights(float(weight_decay)), opt)
-    return opt
+    return optax.flatten(opt) if flatten else opt

@@ -179,7 +179,9 @@ def main():
         shape = dict(zip(mesh.axis_names, mesh.devices.shape))
         print(f"--- mesh {name}: {shape}", flush=True)
         module = g._flagship_module(mesh=mesh)
-        optimizer = make_optimizer(8e-3, total_steps=100)
+        # flatten=False: a ravelled Adam state cannot follow the TP param
+        # shardings (one flat vector would gather every shard per step)
+        optimizer = make_optimizer(8e-3, total_steps=100, flatten=False)
         tp = max_model > 1
 
         # 1) compile at FLAGSHIP shape for the HLO collective inventory

@@ -66,9 +66,7 @@ def build(row):
 
 def make_loop(module, batch, flat, flat_l1=False):
     params = module.init(jax.random.PRNGKey(0), batch["tensors"])["params"]
-    opt = make_optimizer(8e-3, total_steps=1000)
-    if flat:
-        opt = optax.flatten(opt)
+    opt = make_optimizer(8e-3, total_steps=1000, flatten=flat)
     opt_state = opt.init(params)
 
     if flat_l1:

@@ -594,3 +594,100 @@ def test_eval_interval_skips_val_and_still_early_stops():
     assert np.isfinite(hist[2]["val_loss"]) and np.isfinite(hist[4]["val_loss"])
     assert np.isfinite(hist[5]["val_loss"])  # final epoch always evaluates
     assert np.isfinite(res["val_loss"])      # fold summary uses a real eval
+
+
+def test_flat_optimizer_bit_identical_to_pytree():
+    """optax.flatten'd Adam (make_optimizer flatten=True, the default) takes
+    EXACTLY the same trajectory as per-leaf Adam: the update is elementwise
+    (no cross-element reductions), so ravel/unravel changes only the executed
+    fusion count, never a bit of any parameter."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from healnet_tpu.train.schedule import make_optimizer
+
+    rng = np.random.default_rng(7)
+    params = {
+        "a": {"w": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+              "b": jnp.asarray(rng.normal(size=(3,)), jnp.float32)},
+        "c": jnp.asarray(rng.normal(size=(4, 4)), jnp.float32),
+    }
+
+    def loss(p):
+        return (jnp.sum(p["a"]["w"] ** 2) + jnp.sum(jnp.sin(p["a"]["b"]))
+                + jnp.sum(jnp.abs(p["c"])))
+
+    trajs = []
+    for flatten in (False, True):
+        opt = make_optimizer(5e-3, total_steps=20, flatten=flatten)
+        state = opt.init(params)
+        p = params
+        for _ in range(6):
+            grads = jax.grad(loss)(p)
+            updates, state = opt.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        trajs.append(p)
+    for x, y in zip(jax.tree_util.tree_leaves(trajs[0]),
+                    jax.tree_util.tree_leaves(trajs[1])):
+        assert jnp.array_equal(x, y), "flat Adam diverged from per-leaf Adam"
+
+
+def test_flat_progress_optimizer_state_surface_and_trajectory():
+    """make_progress_optimizer(flatten=True) keeps the InjectHyperparamsState
+    surface (.count/.hyperparams) that progress_hyperparams writes into, and
+    matches the pytree variant bit-for-bit under the cycled schedule."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from healnet_tpu.train.schedule import (
+        make_progress_optimizer,
+        progress_hyperparams,
+    )
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 12, dtype=jnp.float32).reshape(4, 3),
+              "b": jnp.ones((3,), jnp.float32)}
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2) + jnp.sum(p["b"] ** 2)
+
+    outs = []
+    for flatten in (False, True):
+        opt = make_progress_optimizer(cycle_momentum=True, flatten=flatten)
+        state = opt.init(params)
+        assert hasattr(state, "count") and hasattr(state, "hyperparams")
+        p = params
+        for _ in range(5):
+            state = progress_hyperparams(state, horizon=50, max_lr=8e-3)
+            grads = jax.grad(loss)(p)
+            updates, state = opt.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        outs.append(p)
+    for x, y in zip(jax.tree_util.tree_leaves(outs[0]),
+                    jax.tree_util.tree_leaves(outs[1])):
+        assert jnp.array_equal(x, y)
+
+
+def test_l1_norm_flat_gradient_exact():
+    """l1_norm(flat=True): the gradient is sign(leaf) elementwise either way
+    — bit-identical to the per-leaf evaluation; the scalar value agrees to
+    float summation-order tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from healnet_tpu.utils.train_utils import l1_norm
+
+    rng = np.random.default_rng(3)
+    params = {
+        "x": jnp.asarray(rng.normal(size=(7, 5)), jnp.float32),
+        "y": {"z": jnp.asarray(rng.normal(size=(11,)), jnp.float32)},
+    }
+    g_flat = jax.grad(lambda p: l1_norm(p, flat=True))(params)
+    g_leaf = jax.grad(lambda p: l1_norm(p, flat=False))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_flat),
+                    jax.tree_util.tree_leaves(g_leaf)):
+        assert jnp.array_equal(a, b)
+    v_flat = float(l1_norm(params, flat=True))
+    v_leaf = float(l1_norm(params, flat=False))
+    assert abs(v_flat - v_leaf) < 1e-4 * max(1.0, abs(v_leaf))
