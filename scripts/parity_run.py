@@ -506,13 +506,16 @@ def main():
               f"folds {sorted(torch_cache)}")
 
     rows = []
-    if args.fold_start > 1 and Path(args.json).exists():
-        # resume: earlier folds' results come from the existing JSON
+    if Path(args.json).exists():
+        # resume: every fold NOT being re-run in this invocation is kept
+        # from the existing JSON (r5 fix: keeping only folds < fold_start
+        # silently dropped out-of-order folds already on disk)
+        rerun = set(range(args.fold_start, args.folds + 1))
         prior = json.loads(Path(args.json).read_text())
         rows = [
             (int(r["fold"]), r["torch"], r["tpu"])
             for r in prior
-            if int(r["fold"]) < args.fold_start
+            if int(r["fold"]) not in rerun
         ]
         print(f"resumed folds {[f for f, _, _ in rows]} from {args.json}")
     for fold in range(args.fold_start, args.folds + 1):
@@ -554,6 +557,7 @@ def main():
 
 
 def _write(args, rows, n):
+    rows = sorted(rows, key=lambda r: r[0])
     lines = [
         "# PARITY — fold-for-fold c-index vs the live Torch reference",
         "",
